@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline end-to-end on
+sf0.001: span-ize the documents table (interleaved text+media spans,
+scrambled order), run the Arrow-batched extraction UDF, return the
+per-document span sequences + metrics.
+
+``queries()`` / ``oracle_sql()`` expose the operator battery in
+``zzzarchived_arxiv_fulltext_spark.queries`` (native-expressible ops get DuckDB
+oracles; UDF-only ops get rows-only checks).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved-span extraction on sf0.001."""
+    from zzzarchived_arxiv_fulltext_spark.operators.span_extract import (
+        extract_documents,
+    )
+    from zzzarchived_arxiv_fulltext_spark.sources.spanize import (
+        spanized_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extracted = extract_documents(spanized_documents(docs), parallelism=None)
+    # project a stable, timestamp-free schema for the smoke check
+    return extracted.select(
+        "doc_id", "spans", "plain_text", "psv_text", "status",
+        "failure_class", "via", "chars_extracted", "n_text_spans",
+        "n_media_spans",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from zzzarchived_arxiv_fulltext_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from zzzarchived_arxiv_fulltext_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,107 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same parquet tables, then compares row count,
+sorted column names, and order-insensitive values.
+
+Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
+"""
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except Exception:
+        pass
+    return v
+
+
+def compare(name, spark_df, duck_rows, duck_cols):
+    s_cols = sorted(spark_df.columns)
+    d_cols = sorted(duck_cols)
+    if s_cols != d_cols:
+        return f"SCHEMA mismatch: spark={s_cols} duck={d_cols}"
+    s_rows = spark_df.collect()
+    if len(s_rows) != len(duck_rows):
+        return f"ROWCOUNT mismatch: spark={len(s_rows)} duck={len(duck_rows)}"
+    s_vals = sorted(
+        tuple(_norm(r[c]) for c in s_cols) for r in s_rows
+    )
+    idx = [duck_cols.index(c) for c in d_cols]
+    d_vals = sorted(tuple(_norm(r[i]) for i in idx) for r in duck_rows)
+    if s_vals != d_vals:
+        for a, b in zip(s_vals, d_vals):
+            if a != b:
+                return f"VALUE mismatch, first diff:\n  spark={a!r}\n  duck ={b!r}"
+        return "VALUE mismatch (unreachable)"
+    return None
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from zzzarchived_arxiv_fulltext_spark.config import build_spark
+
+    spark = build_spark(app_name="oracle-check", master="local[8]",
+                        shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as ex:
+            print(f"[FAIL] {name}: spark raised {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            n = df.count()
+            print(f"[rows-only] {name}: {n} rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_rows = res.fetchall()
+            duck_cols = [d[0] for d in res.description]
+        except Exception as ex:
+            print(f"[FAIL] {name}: duckdb raised {ex}")
+            failures += 1
+            continue
+        err = compare(name, df, duck_rows, duck_cols)
+        if err:
+            print(f"[FAIL] {name}: {err}")
+            failures += 1
+        else:
+            print(f"[OK]   {name}: {len(duck_rows)} rows match")
+    print(f"\n{failures} failures")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,485 @@
+"""Driver-contract query battery: Spark queries + DuckDB oracle SQL.
+
+Every natively-expressible operator from SURVEY.md §2 (and the
+training-data ops battery) is registered here twice: as a PySpark
+DataFrame program and as ANSI SQL the driver runs on DuckDB over the
+same parquet. Column names/values must match exactly (the driver
+sorts columns by name and value-hashes).
+
+Keep each Spark query Catalyst-friendly: JVM expressions only (the
+single exception is ``q_psv_udf``, which deliberately routes through
+the real pandas UDF and is oracle-checked against the equivalent
+native SQL chain — the strongest correctness evidence the harness can
+record for the UDF path).
+"""
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: Dict[str, QueryFn] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# --------------------------------------------------------------------------
+# Q1 — extraction quality statistic (reference fulltext.py:27-44)
+# --------------------------------------------------------------------------
+
+_JUNK_RE = r"(\(cid:\d+\)|lllll|\.\.\.\.\.|\*\*\*\*\*)"
+
+
+@_register(
+    "avg_word_length",
+    f"""
+    SELECT doc_id,
+           round(length(s) / (len(regexp_split_to_array(trim(s), '\\s+')) + 1), 6)
+             AS awl
+    FROM (SELECT doc_id, regexp_replace(text, '{_JUNK_RE}', '', 'g') AS s
+          FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def q_avg_word_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = F.regexp_replace(F.col("text"), _JUNK_RE, "")
+    awl = F.length(s) / (F.size(F.split(F.trim(s), r"\s+")) + 1)
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.round(awl, 6).alias("awl")
+    )
+
+
+# --------------------------------------------------------------------------
+# V8 — abbreviation expansion (reference psv.py:151-167)
+# --------------------------------------------------------------------------
+
+_EXPANSIONS = (
+    (r"(?i)Fig[s]?[\.]?\s", "Figure "),
+    (r"(?i)Eq[s]?[\.]?\s", "Equation "),
+    (r"(?i)Sect[s]?[\.]?\s", "Section "),
+    (r"(?i)Ref[s]?[\.]?\s", "Reference "),
+    (r"(?i)Prof\.", "Prof"),
+    (r"(?i)Dr\.", "Dr"),
+)
+
+
+def _expand_sql(col: str) -> str:
+    expr = col
+    for pat, repl in _EXPANSIONS:
+        # DuckDB takes flags as a 4th arg instead of inline (?i)
+        expr = f"regexp_replace({expr}, '{pat[4:]}', '{repl}', 'gi')"
+    return expr
+
+
+@_register(
+    "expand_abbreviations",
+    f"""
+    SELECT doc_id, {_expand_sql("('Fig. 1 shows Eqs. 2 near Sect. 3 by Prof. X Dr. Y Refs. 4: ' || substr(text, 1, 80))")} AS expanded
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_expand_abbreviations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    col = F.concat(
+        F.lit("Fig. 1 shows Eqs. 2 near Sect. 3 by Prof. X Dr. Y Refs. 4: "),
+        F.substring(F.col("text"), 1, 80),
+    )
+    for pat, repl in _EXPANSIONS:
+        col = F.regexp_replace(col, pat, repl)
+    return _docs(spark, sf_dir).select("doc_id", col.alias("expanded"))
+
+
+# --------------------------------------------------------------------------
+# V9+V10 — symbol/digit scrub (reference psv.py:170-181)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "scrub_symbols_numbers",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '[^\.\w ]', ' ', 'g'),
+                 '\_', ' ', 'g'),
+               '\d+[\.]?\d+/', ' ', 'g'),
+             '\d', ' ', 'g') AS scrubbed
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_scrub_symbols_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    col = F.col("text")
+    for pat in (r"[^\.\w ]", r"\_", r"\d+[\.]?\d+/", r"\d"):
+        col = F.regexp_replace(col, pat, " ")
+    return _docs(spark, sf_dir).select("doc_id", col.alias("scrubbed"))
+
+
+# --------------------------------------------------------------------------
+# V12+V13 — single-letter removal (doubled) + space collapse
+# (reference psv.py:196-208)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "single_alpha_spaces",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '\s[a-zA-Z]\s', ' ', 'g'),
+                   '\s[a-zA-Z]\s', ' ', 'g'),
+                 '\s[a-zA-Z]\.', '.', 'g'),
+               '\s+', ' ', 'g'),
+             '^\s+', '', 'g') AS cleaned
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_single_alpha_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    col = F.col("text")
+    for pat, rep in ((r"\s[a-zA-Z]\s", " "), (r"\s[a-zA-Z]\s", " "),
+                     (r"\s[a-zA-Z]\.", "."), (r"\s+", " "), (r"^\s+", "")):
+        col = F.regexp_replace(col, pat, rep)
+    return _docs(spark, sf_dir).select("doc_id", col.alias("cleaned"))
+
+
+# --------------------------------------------------------------------------
+# V15 — sentence cleaning filter (reference psv.py:219-240)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "clean_sentences",
+    r"""
+    SELECT doc_id, lower(s) AS sentence
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(text, '\W', ' ', 'g'),
+                                 '\s+', ' ', 'g')) AS s
+      FROM documents
+      WHERE regexp_matches(substr(text, 1, 1), '\w')
+    )
+    WHERE length(s) > 3
+    ORDER BY doc_id
+    """,
+)
+def q_clean_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"\W", " "), r"\s+", " "
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .where(F.substring("text", 1, 1).rlike(r"\w"))
+        .select("doc_id", F.lower(s).alias("sentence"))
+        .where(F.length("sentence") > 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 — work dedup via left-anti join (reference controllers.py:140-158)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "pending_after_anti_join",
+    """
+    SELECT d.doc_id, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents done
+      WHERE done.doc_id % 10 < 3 AND done.doc_id = d.doc_id
+    )
+    ORDER BY d.doc_id
+    """,
+)
+def q_pending_after_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    done = docs.where(F.col("doc_id") % 10 < 3).select("doc_id")
+    return docs.join(done, on="doc_id", how="left_anti").select(
+        "doc_id", "n_chars"
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 — latest-version resolution via window (reference store.py:145-165)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id AS latest_event_id, event_type AS latest_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("event_type").alias("latest_type"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# I1/I3/I4 — span explode / stable reassembly. The documents table is
+# span-ized with pure SQL expressions (sources/spanize.py), spans are
+# deliberately stored in reverse order, and the query must rebuild the
+# original text by sorting on offset — proving order never depends on
+# arrival/shuffle order. The oracle is the identity (rebuilt == text).
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "span_reassembly",
+    """
+    SELECT doc_id::VARCHAR AS doc_id, text AS rebuilt
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_span_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.spanize import spanized_documents
+
+    spans = spanized_documents(_docs(spark, sf_dir))
+    text_spans = F.expr(
+        "array_sort(filter(spans, s -> s.kind = 'text'),"
+        " (a, b) -> a.offset - b.offset)"
+    )
+    rebuilt = F.array_join(
+        F.transform(text_spans, lambda s: s["text"]), " "
+    )
+    return spans.select("doc_id", rebuilt.alias("rebuilt"))
+
+
+# --------------------------------------------------------------------------
+# Training-data ops: token counting / quality scoring / fingerprinting
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "token_count",
+    """
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ", -1)).alias("n_tokens")
+    )
+
+
+_STOPWORDS = "('the', 'a', 'of', 'in', 'and', 'to')"
+
+
+@_register(
+    "quality_score",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(length(text) / len(string_split(text, ' ')), 6)
+             AS avg_token_len,
+           round(len(list_filter(string_split(text, ' '),
+                                 w -> w IN {_STOPWORDS}))
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("text", " ", -1)
+    stop = F.size(
+        F.filter(
+            toks,
+            lambda w: w.isin("the", "a", "of", "in", "and", "to"),
+        )
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        F.round(F.length("text") / F.size(toks), 6).alias("avg_token_len"),
+        F.round(stop / F.size(toks), 6).alias("stopword_ratio"),
+    )
+
+
+@_register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '[^0-9A-Za-z_]', '', 'g')))
+             AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(
+            F.lower(F.regexp_replace("text", "[^0-9A-Za-z_]", ""))
+        ).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact deduplication: hash-groupBy on content (map-side combinable)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "exact_dedup_groups",
+    """
+    SELECT md5(text) AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS representative
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY content_hash
+    """,
+)
+def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("representative"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation / windowed-time analytics over the events stream table
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "event_hourly_rollup",
+    """
+    SELECT user_id,
+           epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+           count(*) AS n_events,
+           sum(value)::DOUBLE AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY user_id, hour_epoch
+    """,
+)
+def q_event_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").cast("double").alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational coverage: scan→agg (TPC-H Q1 shape) and multi-join rollup,
+# exercising partial aggregation and broadcast joins at scale.
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "lineitem_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)::BIGINT AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(price * disc).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(revenue).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -1,0 +1,108 @@
+"""Snapshot-committed parquet tables.
+
+The environment has no Iceberg runtime jar, so the engine ships a thin
+snapshot layer with the same commit semantics the north rule needs:
+an append is INVISIBLE until a single atomic manifest update commits
+it, reads see only committed snapshots, and a killed run leaves no
+partial state behind (its orphan directory is simply never listed).
+The API is deliberately tiny so a real Iceberg catalog can replace it
+behind ``append``/``read``/``snapshot_ids``.
+
+Reference analogue: the filesystem store + meta.json
+(``fulltext/services/store/store.py:111-204``) and the "immediately
+consistent" placeholder write (``fulltext/extract.py:89-101``) — both
+replaced by snapshot isolation.
+"""
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_MANIFEST = "_snapshots.json"
+
+
+class SnapshotTable:
+    """A parquet table whose visibility unit is a committed snapshot."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest -----------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, _MANIFEST)
+
+    def snapshots(self) -> List[dict]:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return []
+
+    def snapshot_ids(self) -> List[int]:
+        return [s["id"] for s in self.snapshots()]
+
+    def latest_snapshot_id(self) -> Optional[int]:
+        ids = self.snapshot_ids()
+        return max(ids) if ids else None
+
+    def _commit(self, entry: dict) -> None:
+        """Atomic manifest update: write-temp + rename."""
+        snaps = self.snapshots() + [entry]
+        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(snaps, f, indent=1)
+        os.replace(tmp, self._manifest_path())
+
+    # -- write --------------------------------------------------------------
+
+    def append(self, df: DataFrame) -> int:
+        """Write ``df`` as a new snapshot; visible only after commit.
+
+        Data lands in an uncommitted staging directory first; the
+        snapshot becomes real only via the atomic manifest replace. A
+        crash at any earlier point leaves an orphan dir that readers
+        never see (crash-safety parity with at-least-once redo,
+        ``fulltext/config.py:326-342``).
+        """
+        snap_id = (self.latest_snapshot_id() or 0) + 1
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        final = os.path.join(self.path, f"snap-{snap_id:05d}")
+        os.replace(staging, final)
+        self._commit({"id": snap_id, "dir": os.path.basename(final),
+                      "ts": time.time(), "rows": None})
+        return snap_id
+
+    # -- read ---------------------------------------------------------------
+
+    def snapshot_dir(self, snap_id: int) -> str:
+        for s in self.snapshots():
+            if s["id"] == snap_id:
+                return os.path.join(self.path, s["dir"])
+        raise KeyError(f"no snapshot {snap_id} in {self.path}")
+
+    def read(self, spark: SparkSession,
+             schema: Optional[T.StructType] = None) -> DataFrame:
+        """All committed rows (empty-but-typed DF when no snapshots)."""
+        dirs = [os.path.join(self.path, s["dir"]) for s in self.snapshots()]
+        if not dirs:
+            if schema is None:
+                raise ValueError(
+                    f"empty table {self.path} needs an explicit schema"
+                )
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*dirs)
+
+    def read_snapshot(self, spark: SparkSession, snap_id: int) -> DataFrame:
+        return spark.read.parquet(self.snapshot_dir(snap_id))
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
