@@ -1,0 +1,95 @@
+"""Round benchmark: prints ONE JSON line.
+
+Headline: documents/sec through the full extraction pipeline — parquet
+scan → offset sort → Arrow-batched pandas UDF → JVM span reassembly →
+noop sink (full materialization, nothing pruned) — on the
+deterministic interleaved-span fixture table (the BASELINE.json
+metric). Plus per-query wall times for the driver query battery at
+$SPARK_GRAFT_SF_DIR.
+
+The fixture parquet is materialized once per (n_docs, seed) into a
+local cache dir so the timed section measures extraction, not
+generation.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR      parquet dir      (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS        local[N]         (default 32)
+  SPARK_GRAFT_BENCH_DOCS  fixture doc count (default 120000)
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from zzzarchived_arxiv_fulltext_spark.config import build_spark
+from zzzarchived_arxiv_fulltext_spark.operators.span_extract import extract_documents
+from zzzarchived_arxiv_fulltext_spark.queries import QUERIES
+from zzzarchived_arxiv_fulltext_spark.sources.fixtures import (
+    DEFAULT_SEED,
+    write_spans_parquet,
+)
+
+CACHE = "/tmp/spark_graft_bench_cache"
+
+
+def ensure_fixture(spark, n_docs: int) -> str:
+    path = f"{CACHE}/spans_{n_docs}_{DEFAULT_SEED}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        write_spans_parquet(spark, path, n_docs)
+    return path
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    spark = build_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    fixture = ensure_fixture(spark, n_docs)
+
+    # -- warmup: JVM, python workers, noop sink (not timed)
+    extract_documents(
+        spark.read.parquet(fixture).limit(2000)
+    ).write.format("noop").mode("overwrite").save()
+
+    # -- headline: full-pipeline extraction throughput
+    t0 = time.perf_counter()
+    extract_documents(spark.read.parquet(fixture)).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    docs_per_sec = n_docs / elapsed
+
+    # -- per-query timings on the driver tables
+    query_secs = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            query_secs[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # a broken query must not hide the rest
+            query_secs[name] = f"error: {ex}"
+
+    print(json.dumps({
+        "metric": "documents_per_sec_extraction",
+        "value": round(docs_per_sec, 2),
+        "unit": "docs/sec",
+        "queries": query_secs,
+        "sf": sf,
+        "bench_docs": n_docs,
+        "extraction_elapsed_sec": round(elapsed, 3),
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

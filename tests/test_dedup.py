@@ -1,0 +1,84 @@
+"""Dedup operator tests: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from zzzarchived_arxiv_fulltext_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_duplicate_groups,
+    exact_jaccard,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_duplicates_minhash,
+    simhash,
+    simhash_near_duplicates,
+    word_shingles,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from a sunny windowsill in the early morning light")
+NEAR = BASE.replace("sunny", "shady")  # 1-word edit → high jaccard
+FAR = ("completely different content about spark shuffle partitions "
+       "and adaptive query execution with broadcast joins everywhere "
+       "plus some extra words to pad the shingle count out")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE), (2, BASE),          # exact dupes
+        (3, NEAR),                      # near-dup of 1/2
+        (4, FAR), (5, FAR + " tail"),   # near-dups of each other
+        (6, "tiny text here now"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(corpus):
+    groups = exact_duplicate_groups(corpus).collect()
+    by_rep = {r["representative"]: r["n_copies"] for r in groups}
+    assert by_rep[1] == 2  # docs 1,2 identical
+    assert len(groups) == 5
+
+    kept = drop_exact_duplicates(corpus)
+    assert kept.count() == 5
+    assert kept.where("doc_id = 2").count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    dups = near_duplicates_minhash(corpus, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in dups}
+    assert (1, 2) in pairs          # identical
+    assert (1, 3) in pairs or (2, 3) in pairs  # near
+    assert (4, 5) in pairs
+    assert all(not (a in (1, 2, 3) and b in (4, 5)) and
+               not (a in (4, 5) and b in (1, 2, 3))
+               for a, b in pairs)   # no cross-cluster pairs
+
+
+def test_exact_jaccard_values(corpus, spark):
+    sh = word_shingles(corpus)
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], ["id_a", "id_b"])
+    j = {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in exact_jaccard(sh, pairs).collect()}
+    assert j[(1, 2)] == 1.0
+    assert (1, 4) not in j  # zero overlap → no intersection row
+
+
+def test_minhash_signature_shape(corpus):
+    sig = minhash_signatures(word_shingles(corpus), num_hashes=16)
+    row = sig.where("id = 1").collect()[0]
+    assert len([c for c in sig.columns if c.startswith("h")]) == 16
+    assert all(len(row[f"h{i}"]) == 32 for i in range(16))  # md5 hex
+
+
+def test_simhash_clusters(corpus):
+    sh = {r["id"]: r["simhash"] for r in simhash(corpus).collect()}
+    assert sh[1] == sh[2]  # identical docs → identical simhash
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_duplicates(corpus, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0

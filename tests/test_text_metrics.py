@@ -1,0 +1,66 @@
+"""Text-analysis operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from zzzarchived_arxiv_fulltext_spark.operators.text_metrics import (
+    document_fingerprints,
+    fingerprint_overlap_pairs,
+    language_id,
+    quality_scores,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat is on the mat and the dog is in the yard"),
+        (2, "der Hund ist nicht in der Schule und die Katze ist da"),
+        (3, "el gato que vive en la casa de los vecinos es una maravilla"),
+        (4, "le chat est dans la maison et les oiseaux sont dans une cage"),
+        (5, "我是在这里的不是那里的我不知道了"),
+        (6, "x7! yz-2 hello_world 3.14 foo"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_language_id(docs):
+    pred = {r["doc_id"]: r["predicted_lang"]
+            for r in language_id(docs).collect()}
+    assert pred[1] == "en"
+    assert pred[2] == "de"
+    assert pred[3] == "es"
+    assert pred[4] == "fr"
+    assert pred[5] == "zh"
+
+
+def test_token_stats(docs):
+    row = token_stats(docs).where("doc_id = 6").collect()[0]
+    assert row["ws_tokens"] == 5
+    # x,7,!,yz,-,2,hello,_,world,3,.,14,foo  → 13 BPE-ish tokens
+    assert row["bpe_tokens"] == 13
+
+
+def test_quality_scores(docs):
+    row = quality_scores(docs).where("doc_id = 1").collect()[0]
+    assert row["n_tokens"] == 13
+    assert 0 < row["stopword_ratio"] < 1
+    assert row["punct_ratio"] == 0.0
+    assert row["distinct_token_ratio"] < 1  # repeated 'the'/'is'
+
+
+def test_fingerprints_detect_shared_passages(spark):
+    shared = "a long shared passage that appears verbatim in both docs "
+    rows = [
+        (1, shared * 3 + "unique tail one two three"),
+        (2, "different head material " + shared * 3),
+        (3, "entirely unrelated words with no common substring at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = document_fingerprints(df).collect()
+    assert all(len(r["fingerprints"]) > 0 for r in fps)
+    pairs = fingerprint_overlap_pairs(df, min_shared=3).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in keys
+    assert (1, 3) not in keys and (2, 3) not in keys

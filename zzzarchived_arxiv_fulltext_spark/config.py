@@ -12,10 +12,29 @@ UDFs over documents of wildly varying size):
 """
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_ARROW_BATCH = 256
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors regardless of cwd.
+
+    The spark-submit equivalent of ``--py-files engine.zip``: zip the
+    package and register it with the SparkContext so python workers
+    can unpickle the UDFs when the driver is launched from any
+    directory.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_pyfiles_{os.getpid()}")
+    zip_path = shutil.make_archive(base, "zip",
+                                   root_dir=os.path.dirname(pkg_dir),
+                                   base_dir=os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
 
 
 def build_spark(
@@ -46,10 +65,17 @@ def build_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
-        # keep scans prunable: never read more parquet than a split
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Split sizing: extraction is CPU-bound (~2 MB/s/core through
+        # the regex pipeline), so the right input split is ~100x smaller
+        # than the scan-optimal 128m — a 4m split is ~2s of UDF work.
+        # At real 100TB scale any value yields ample splits; locally it
+        # decides whether 32 cores get work at all.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
+        .config("spark.sql.files.openCostInBytes", "512k")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark

@@ -1,0 +1,237 @@
+"""Corpus deduplication operators (training-data pipeline surface).
+
+Four families, all expressed as JVM-side DataFrame programs (no Python
+in the hot path):
+
+- exact:          content-hash groupBy (map-side combinable)
+- MinHash + LSH:  shingle → k min-hashes → banded bucket join
+- SimHash:        per-bit majority over token hashes, hamming buckets
+- n-gram Jaccard: exact set overlap on shingles (verification pass)
+
+Scale notes: every self-join is bucketed (LSH bands / simhash prefix)
+so candidate generation never goes quadratic; the exact-Jaccard verify
+runs only on candidate pairs. Shingle explosion is the dominant
+shuffle — distinct() before the join keeps it to unique (doc, shingle)
+pairs.
+
+The min-hash family is ``min over md5(seed || shingle)`` — a hex-string
+min per seed — chosen deliberately: it is reproducible in ANSI SQL on
+any engine (the DuckDB oracle runs the identical formula), unlike
+engine-specific integer hashes.
+"""
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Group identical contents: (content_hash, n_copies, representative)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("representative"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct content."""
+    keep = (
+        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_h")
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------------
+# shingling
+# --------------------------------------------------------------------------
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct n-word shingles per document: (id, shingle).
+
+    Native: split → sequence → transform(slice ∘ concat) → explode.
+    """
+    words = F.split(F.col(text_col), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda k: F.array_join(F.slice(words, k + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + banded LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(shingled: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(id, h0..h{k-1}) — one aggregation pass computes all k mins."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return shingled.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
+                        rows_per_band: int = 4) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidates.
+
+    Bucket join (equi-join on band hash) — never a cross join.
+    """
+    band_entries = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
+            ])).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    buckets = signatures.select(
+        "id", F.explode(band_entries).alias("e")
+    ).select("id", "e.band", "e.bucket")
+
+    left = buckets.alias("a")
+    right = buckets.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(shingled: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs via shingle co-count.
+
+    |A ∩ B| from a join on shingle restricted to candidate pairs;
+    |A ∪ B| = |A| + |B| − |A ∩ B|. No shingle arrays are materialized
+    per row (giant docs would blow memory); everything stays flat.
+    """
+    sizes = shingled.groupBy("id").agg(F.count("*").alias("n_shingles"))
+
+    a = shingled.alias("sa")
+    b = shingled.alias("sb")
+    inter = (
+        a.join(b, F.col("sa.shingle") == F.col("sb.shingle"))
+        .select(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .join(pairs, on=["id_a", "id_b"], how="left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("id", "id_a")
+              .withColumnRenamed("n_shingles", "n_a"), on="id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("n_shingles", "n_b"), on="id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_inter")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+             ).alias("jaccard"),
+        )
+    )
+
+
+def near_duplicates_minhash(
+    df: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH → exact verify."""
+    shingled = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    sigs = minhash_signatures(shingled, num_hashes=num_hashes)
+    pairs = lsh_candidate_pairs(sigs, bands=bands,
+                                rows_per_band=num_hashes // bands)
+    return exact_jaccard(shingled, pairs).where(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _hex_digit_bit(word: Column, b: int) -> Column:
+    """Bit ``b`` (0-based, 16 bits) of md5(word)'s leading hex digits."""
+    digit = F.substring(F.md5(word), b // 4 + 1, 1)
+    val = F.instr(F.lit(_HEX), digit) - 1
+    return F.shiftright(val, 3 - (b % 4)) % 2
+
+
+def simhash(df: DataFrame, bits: int = 16, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Per-document SimHash: majority vote over token hash bits.
+
+    (id, simhash) with simhash in [0, 2^bits). Pure JVM expressions —
+    explode words, one groupBy with ``bits`` conditional sums.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    sums = toks.groupBy("id").agg(*[
+        F.sum(_hex_digit_bit(F.col("w"), b) * 2 - 1).alias(f"s{b}")
+        for b in range(bits)
+    ])
+    value = sum(
+        (F.when(F.col(f"s{b}") > 0, 1).otherwise(0) * (1 << b))
+        for b in range(bits)
+    )
+    return sums.select("id", value.cast("long").alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, max_hamming: int = 2,
+                            bits: int = 16, prefix_bits: int = 8,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs with small simhash Hamming distance.
+
+    Bucketed by the high ``prefix_bits`` (pigeonhole: near-identical
+    docs collide on the prefix with high probability); exact hamming
+    computed via bit_count(xor) inside buckets only.
+    """
+    sh = simhash(df, bits=bits, text_col=text_col, id_col=id_col)
+    bucketed = sh.withColumn(
+        "bucket", F.shiftright(F.col("simhash"), bits - prefix_bits)
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

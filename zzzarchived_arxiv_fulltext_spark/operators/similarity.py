@@ -1,0 +1,207 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force cosine top-k (the correctness baseline): broadcast the
+  query set, JVM-side dot products via zip_with/aggregate, window
+  top-k — no Python in the loop;
+- LSH-bucketed ANN (the scale path): deterministic random-hyperplane
+  signatures (seeded, engine-independent), candidates from bucket
+  equi-joins, exact cosine only within buckets. Multi-probe via
+  several independent tables keeps recall high without widening any
+  single join.
+
+At 100 TB the brute-force path is a cross join — never run it on the
+full corpus; it exists to verify the ANN path's recall on samples.
+"""
+
+import hashlib
+import math
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array<float|double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    (query_id, neighbor_id, cos) — queries are broadcast; ties broken
+    by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH ANN
+# --------------------------------------------------------------------------
+
+
+def _hyperplane(table: int, plane: int, dim: int) -> List[float]:
+    """Deterministic pseudo-random unit-free hyperplane.
+
+    Components derived from md5 so signatures are reproducible across
+    engines and sessions (no RNG state, no numpy dependency here).
+    """
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"srp|{table}|{plane}|{d}".encode()).hexdigest()
+        u = int(h[:12], 16) / float(1 << 48)  # [0, 1)
+        out.append(math.sqrt(-2.0 * math.log(max(u, 1e-12)))
+                   * math.cos(2.0 * math.pi
+                              * (int(h[12:24], 16) / float(1 << 48))))
+    return out
+
+
+def srp_signature(vec: Column, table: int, planes: int, dim: int) -> Column:
+    """Signed-random-projection bucket id (int) for one LSH table."""
+    sig = F.lit(0)
+    for p in range(planes):
+        plane = F.array(*[F.lit(w) for w in _hyperplane(table, p, dim)])
+        bit = F.when(dot(vec, plane) >= 0, 1).otherwise(0)
+        sig = sig + bit * (1 << p)
+    return sig
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    tables: int = 4,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: union of per-table bucket joins, exact cosine
+    on candidates, window top-k. Never goes quadratic: each join is an
+    equi-join on (table, bucket)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+
+    def with_buckets(df: DataFrame, vec: str) -> DataFrame:
+        entries = F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                srp_signature(F.col(vec), t, planes, dim).alias("bucket"),
+            )
+            for t in range(tables)
+        ])
+        return df.select("*", F.explode(entries).alias("e")).select(
+            df.columns + [F.col("e.tbl").alias("tbl"),
+                          F.col("e.bucket").alias("bucket")]
+        )
+
+    cb = with_buckets(c, "cvec")
+    qb = with_buckets(q, "qvec")
+    candidates = (
+        cb.join(F.broadcast(qb), on=["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qvec", "cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    tables: int = 4,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine (LSH-bucketed).
+
+    (id_a, id_b, cos) with cos >= threshold, id_a < id_b.
+    """
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    entries = F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 srp_signature(F.col("vec"), t, planes, dim).alias("bucket"))
+        for t in range(tables)
+    ])
+    b = v.select("*", F.explode(entries).alias("e")).select(
+        "id", "vec", F.col("e.tbl").alias("tbl"),
+        F.col("e.bucket").alias("bucket"),
+    )
+    a, bb = b.alias("a"), b.alias("b")
+    return (
+        a.join(bb, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,11 +1,16 @@
 """The extraction operator: Arrow-batched pandas UDF over span arrays.
 
 This is the engine's single JVM→Python crossing for the hot path
-(SURVEY.md §2.6): one vectorized UDF receives a batch of documents'
-span arrays via Arrow, runs the pure decision tree
-(:func:`..functions.extract.extract_document`) per document, and
-returns one struct per document. No row-at-a-time Python dispatch; no
-driver-side loops.
+(SURVEY.md §2.6). The crossing is kept as thin as possible:
+
+- Only the ORDERED TEXT STRINGS of each document cross into Python
+  (``array<string>``). Media spans, offsets and the struct scaffolding
+  never leave the JVM — Arrow list<struct> conversion materializes a
+  Python dict per span and measurably saturates memory bandwidth at
+  high core counts, while list<string> is a flat buffer copy.
+- The output span sequence is reassembled JVM-side with a linear
+  ``aggregate`` fold that zips cleaned texts back into the
+  offset-sorted span list (media passthrough, order = position).
 
 Reference analogue: the per-document Celery task body
 (``fulltext/extract.py:194-230``) and the extractor fallback ladder
@@ -13,46 +18,197 @@ Reference analogue: the per-document Celery task body
 DataFrame stage.
 """
 
+from typing import Optional
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from .. import EXTRACTOR_VERSION
-from ..functions.extract import extract_document
+from ..functions.extract import (
+    FAILURE_QUALITY_GATE,
+    STATUS_FAILED,
+    STATUS_SUCCEEDED,
+    VIA_LAYOUT_RETRY,
+    VIA_NONE,
+    VIA_PRIMARY,
+    _clean_primary,
+    _clean_retry,
+)
+from ..functions.psv import normalize_text_psv
+from ..functions.quality import MAX_AVG_WORD_LENGTH, average_word_length
 from ..schema import EXTRACT_RESULT
 
+# Struct returned per document by the thin UDF: cleaned text spans
+# (original text echoed back when the quality gate fails) + doc-level
+# outputs. Everything span-structural stays JVM-side.
+_TEXT_RESULT = T.StructType(
+    [
+        T.StructField("texts", T.ArrayType(T.StringType()), False),
+        T.StructField("plain_text", T.StringType(), True),
+        T.StructField("psv_text", T.StringType(), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("failure_class", T.StringType(), True),
+        T.StructField("via", T.StringType(), False),
+        T.StructField("chars_extracted", T.LongType(), False),
+    ]
+)
 
-@pandas_udf(EXTRACT_RESULT)
-def extract_spans_udf(spans: pd.Series) -> pd.DataFrame:
-    """Batch of span arrays → batch of extraction result structs."""
-    results = [extract_document(doc_spans) for doc_spans in spans]
-    return pd.DataFrame(results)
+
+def _extract_texts(texts) -> dict:
+    """Per-document decision tree over the ordered text-span strings.
+
+    Identical semantics to ``functions.extract.extract_document`` —
+    same helpers, same gate, same fallback — operating on the text
+    list the JVM already ordered by offset.
+    """
+    raw = list(texts)
+    primary = [_clean_primary(t or "") for t in raw]
+    chosen, via, failure = primary, VIA_PRIMARY, None
+    if average_word_length("\n".join(primary)) > MAX_AVG_WORD_LENGTH:
+        retry = [_clean_retry(t or "") for t in raw]
+        if average_word_length("\n".join(retry)) > MAX_AVG_WORD_LENGTH:
+            chosen, via, failure = None, VIA_NONE, FAILURE_QUALITY_GATE
+        else:
+            chosen, via = retry, VIA_LAYOUT_RETRY
+
+    if chosen is not None:
+        plain = "\n".join(chosen)
+        return {
+            "texts": chosen,
+            "plain_text": plain,
+            "psv_text": normalize_text_psv(plain),
+            "status": STATUS_SUCCEEDED,
+            "failure_class": None,
+            "via": via,
+            "chars_extracted": len(plain),
+        }
+    return {
+        "texts": raw,  # failed docs keep their original text
+        "plain_text": None,
+        "psv_text": None,
+        "status": STATUS_FAILED,
+        "failure_class": failure,
+        "via": via,
+        "chars_extracted": 0,
+    }
 
 
-def salt_column(parallelism: int, over: Column | None = None) -> Column:
+@pandas_udf(_TEXT_RESULT)
+def extract_texts_udf(texts: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame([_extract_texts(doc) for doc in texts])
+
+
+# JVM-side reassembly in two linear passes: (1) a prefix-count fold
+# over ints only (text-span rank per position — appending ints is
+# cheap; appending structs with big strings would copy O(n²) bytes),
+# (2) a transform that builds the output span per position, pulling
+# the rank-th cleaned text. Media spans pass through; order = position.
+_RANKS = """
+aggregate(
+  _sorted_spans,
+  array(cast(0 as int)),
+  (acc, s) -> array_append(acc,
+      element_at(acc, size(acc)) + if(s.kind = 'text', 1, 0))
+)
+"""
+
+_REASSEMBLE = """
+if(size(_sorted_spans) = 0,
+   cast(array() as array<struct<kind:string,text:string,
+                                media_ref:string,`order`:int>>),
+   transform(
+     sequence(1, size(_sorted_spans)),
+     i -> named_struct(
+       'kind', element_at(_sorted_spans, i).kind,
+       'text', if(element_at(_sorted_spans, i).kind = 'text',
+                  element_at(_r.texts, element_at(_ranks, i + 1)),
+                  cast(null as string)),
+       'media_ref', if(element_at(_sorted_spans, i).kind = 'text',
+                       cast(null as string),
+                       element_at(_sorted_spans, i).media_ref),
+       'order', i - 1
+     )
+   )
+)
+"""
+
+
+def salt_column(parallelism: int, over: Optional[Column] = None) -> Column:
     """Skew-spreading repartition key.
 
     Documents cannot be split below row granularity, so balance comes
-    from spreading many docs uniformly over ``parallelism·8`` buckets
-    (a giant doc then shares its partition with ~1/8 of a normal
-    partition's docs on average). Cheap JVM-side hash, no extra scan.
+    from spreading docs uniformly over ``parallelism·8`` buckets.
+    Cheap JVM-side hash, no extra scan. Only worth its shuffle when
+    the source partitioning is pathologically clustered — a parquet
+    scan with small ``maxPartitionBytes`` splits is already uniform.
     """
     over = F.col("doc_id") if over is None else over
     return F.pmod(F.xxhash64(over), F.lit(parallelism * 8))
 
 
-def extract_documents(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+def extract_documents(df: DataFrame,
+                      parallelism: Optional[int] = None) -> DataFrame:
     """input (doc_id, spans) → extracted output columns.
 
-    Plan shape: scan → repartition(salt) → project(UDF) — map-only
-    besides the single skew-spreading exchange; the UDF result struct
-    is expanded via ``result.*`` so Catalyst can prune unused columns
-    downstream.
+    Plan shape: scan → [optional repartition(salt)] → sort+project
+    (JVM) → pandas UDF over text arrays → JVM reassembly. Map-only
+    unless salting is requested.
     """
     if parallelism is not None:
         df = df.repartition(parallelism, salt_column(parallelism))
 
+    started = F.current_timestamp()
+    sorted_spans = F.expr("array_sort(spans, (a, b) -> a.offset - b.offset)")
+    texts_in = F.expr(
+        "transform(filter(_sorted_spans, s -> s.kind = 'text'), s -> s.text)"
+    )
+    n_text = F.expr("size(filter(spans, s -> s.kind = 'text'))")
+
+    return (
+        df.withColumn("_sorted_spans", sorted_spans)
+        .withColumn("_ranks", F.expr(_RANKS))
+        .withColumn("_r", extract_texts_udf(texts_in))
+        .select(
+            "doc_id",
+            F.expr(_REASSEMBLE).alias("spans"),
+            F.col("_r.plain_text").alias("plain_text"),
+            F.col("_r.psv_text").alias("psv_text"),
+            F.col("_r.status").alias("status"),
+            F.col("_r.failure_class").alias("failure_class"),
+            F.col("_r.via").alias("via"),
+            F.col("_r.chars_extracted").alias("chars_extracted"),
+            n_text.cast("int").alias("n_text_spans"),
+            (F.size("spans") - n_text).cast("int").alias("n_media_spans"),
+            F.lit(EXTRACTOR_VERSION).alias("extractor_version"),
+            started.alias("started"),
+            F.current_timestamp().alias("ended"),
+            F.spark_partition_id().alias("partition_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference variant: full span structs through Arrow (kept for A/B
+# comparison and as the simpler-to-audit path; same results).
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(EXTRACT_RESULT)
+def extract_spans_udf(spans: pd.Series) -> pd.DataFrame:
+    """Batch of raw span-struct arrays → extraction result structs."""
+    from ..functions.extract import extract_document
+
+    return pd.DataFrame([extract_document(doc) for doc in spans])
+
+
+def extract_documents_struct(df: DataFrame,
+                             parallelism: Optional[int] = None) -> DataFrame:
+    """Struct-transport variant of :func:`extract_documents`."""
+    if parallelism is not None:
+        df = df.repartition(parallelism, salt_column(parallelism))
     started = F.current_timestamp()
     return (
         df.withColumn("result", extract_spans_udf(F.col("spans")))

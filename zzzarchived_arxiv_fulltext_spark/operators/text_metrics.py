@@ -1,0 +1,194 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, fingerprinting. All JVM-native except the winnowing
+fingerprint (vectorized numpy inside a pandas UDF).
+"""
+
+from typing import Dict, List
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# --------------------------------------------------------------------------
+# token counting
+# --------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
+# symbols (the GPT-2 pre-tokenizer's shape without lookaheads, which
+# neither Java regex in codegen nor RE2 oracle engines agree on).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(F.split(text, " ", -1))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count regex token matches without materializing the tokens."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        whitespace_token_count(F.col(text_col)).alias("ws_tokens"),
+        bpe_token_count(F.col(text_col)).alias("bpe_tokens"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "in", "and", "to", "is", "was", "for", "on")
+
+
+def quality_scores(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword / repetition heuristics.
+
+    One JVM projection; every score is a pure expression so Catalyst
+    can pipeline it with the scan.
+    """
+    text = F.col(text_col)
+    toks = F.split(text, " ", -1)
+    n_toks = F.size(toks)
+    stop = F.size(F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS)))
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    uniq = F.size(F.array_distinct(toks))
+    return df.select(
+        F.col(id_col),
+        F.length(text).alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        F.round(F.length(text) / n_toks, 6).alias("avg_token_len"),
+        F.round(stop / n_toks, 6).alias("stopword_ratio"),
+        F.round(punct / F.length(text), 6).alias("punct_ratio"),
+        F.round(uniq / n_toks, 6).alias("distinct_token_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# language identification (character n-gram heuristic)
+# --------------------------------------------------------------------------
+
+# Tiny trigram/marker profiles per language. Deliberately simple and
+# deterministic: score = marker hit count weighted by specificity.
+_LANG_MARKERS: Dict[str, List[str]] = {
+    "en": [" the ", " and ", " of ", " is ", "ing ", " that "],
+    "de": [" der ", " und ", " die ", " ist ", "sch", " nicht "],
+    "es": [" el ", " de la ", " que ", " los ", "ción", " una "],
+    "fr": [" le ", " la ", " les ", " est ", " une ", " dans "],
+    "zh": ["的", "是", "了", "在", "我", "不"],
+}
+
+
+def language_scores(text: Column) -> Dict[str, Column]:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        s = F.lit(0)
+        for m in markers:
+            # occurrence count via length difference (no regex engine
+            # variance; literal markers only)
+            occ = (
+                (F.length(padded)
+                 - F.length(F.replace(padded, F.lit(m), F.lit(""))))
+                / F.lit(len(m))
+            )
+            s = s + occ
+        scores[lang] = s
+    return scores
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, predicted_lang, lang_score) by marker-profile argmax."""
+    scores = language_scores(F.col(text_col))
+    pairs = F.array(*[
+        F.struct(s.cast("double").alias("score"), F.lit(lang).alias("lang"))
+        for lang, s in scores.items()
+    ])
+    best = F.array_max(pairs)
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("predicted_lang"),
+        F.round(best["score"], 6).alias("lang_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting (rolling hash / winnowing)
+# --------------------------------------------------------------------------
+
+_MOD = (1 << 61) - 1
+_BASE = 257
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def winnowing_fingerprint_udf(texts: pd.Series) -> pd.Series:
+    """Winnowing fingerprints: k-gram rolling hashes, window minima.
+
+    k=8, window=16 (Schleimer et al., SIGMOD'03 scheme). Vectorized
+    numpy per document; Arrow-batched.
+    """
+    import numpy as np
+
+    k, w = 8, 16
+
+    def fp(text: str) -> List[int]:
+        if not text or len(text) < k:
+            return []
+        data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+        n = len(data) - k + 1
+        if n <= 0:
+            return []
+        # polynomial rolling hash over uint64 (natural mod 2^64)
+        h = np.zeros(len(data) - k + 1, dtype=np.uint64)
+        acc = np.uint64(0)
+        base = np.uint64(_BASE)
+        for i in range(k):
+            acc = acc * base + np.uint64(data[i])
+        h[0] = acc
+        top = base ** np.uint64(k - 1)
+        for i in range(1, n):
+            acc = (acc - np.uint64(data[i - 1]) * top) * base \
+                + np.uint64(data[i + k - 1])
+            h[i] = acc
+        if n <= w:
+            return [int(h.min() & np.uint64(0x7FFFFFFFFFFFFFFF))]
+        # window minima via stride trick
+        from numpy.lib.stride_tricks import sliding_window_view
+        mins = sliding_window_view(h, w).min(axis=1)
+        picked = np.unique(mins)
+        return [int(v & 0x7FFFFFFFFFFFFFFF) for v in picked.tolist()]
+
+    return texts.map(fp)
+
+
+def document_fingerprints(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        winnowing_fingerprint_udf(F.col(text_col)).alias("fingerprints"),
+    )
+
+
+def fingerprint_overlap_pairs(df: DataFrame, min_shared: int = 3,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Plagiarism-style candidate pairs: docs sharing >= N fingerprints."""
+    fps = document_fingerprints(df, text_col, id_col).select(
+        F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp")
+    ).distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
+    )

@@ -483,3 +483,355 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# The PSV pandas UDF, oracle-checked: the Spark side runs the REAL
+# Arrow-batched UDF (functions.psv.normalize_text_psv); the oracle is
+# the equivalent native SQL chain, valid for this corpus because
+# documents.text is single-line ASCII (verified: no CR/LF/tab/dots).
+# This is the strongest per-round correctness evidence the harness can
+# record for the UDF path.
+# --------------------------------------------------------------------------
+
+_EXPAND_STEPS_SQL = (
+    (r"Fig[s]?[\.]?\s", "Figure "),
+    (r"Eq[s]?[\.]?\s", "Equation "),
+    (r"Sect[s]?[\.]?\s", "Section "),
+    (r"Ref[s]?[\.]?\s", "Reference "),
+    (r"Prof\.", "Prof"),
+    (r"Dr\.", "Dr"),
+)
+
+_SCRUB_STEPS_SQL = (
+    (r"[^\.\w ]", " "),
+    (r"\_", " "),
+    (r"\d+[\.]?\d+/", " "),
+    (r"\d", " "),
+    (r"\s\w\.\w\.\w\.\s", " "),
+    (r"\s\w\.\w\.\s", " "),
+    (r"\s\w\.\s", " "),
+    (r"\s[a-zA-Z]\s", " "),
+    (r"\s[a-zA-Z]\s", " "),
+    (r"\s[a-zA-Z]\.", "."),
+    (r"\s+", " "),
+    (r"^\s+", ""),
+)
+
+
+def _psv_chain_sql() -> str:
+    expr = "text || ' '"
+    expr = f"regexp_replace({expr}, '- $', '', 'g')"
+    for pat, repl in _EXPAND_STEPS_SQL:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'gi')"
+    for pat, repl in _SCRUB_STEPS_SQL:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    expr = f"regexp_replace({expr}, '- $', '', 'g')"
+    # _clean_sentence: must start with \w; \W -> ' '; collapse; strip;
+    # drop <=3 chars; lowercase
+    cleaned = (
+        f"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"{expr}, '\\W', ' ', 'g'), '\\s+', ' ', 'g'), '^\\s+', '', 'g'),"
+        f" '\\s+$', '', 'g')"
+    )
+    return (
+        f"CASE WHEN NOT regexp_matches({expr}, '^\\w') THEN ''"
+        f" WHEN length({cleaned}) <= 3 THEN ''"
+        f" ELSE lower({cleaned}) END"
+    )
+
+
+@_register(
+    "psv_normalize_udf",
+    f"SELECT doc_id, {_psv_chain_sql()} AS psv FROM documents ORDER BY doc_id",
+)
+def q_psv_normalize_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .functions.psv import normalize_text_psv
+
+    @pandas_udf("string")
+    def psv_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(normalize_text_psv)
+
+    return _docs(spark, sf_dir).select("doc_id", psv_udf("text").alias("psv"))
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact, restricted id range)
+# --------------------------------------------------------------------------
+
+def _pair_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.where(F.col("doc_id") < 40)
+    planted = docs.where(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return base.unionByName(planted)
+
+
+# the corpus for pair queries: documents 0-39 plus planted copies
+# (id+10000) so near-dup detection has guaranteed positives
+_PAIR_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 8
+"""
+
+_SHINGLE_SQL = """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM (""" + _PAIR_CORPUS_SQL + """)
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM words, UNNEST(range(1, greatest(len(ws) - 1, 2))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    _SHINGLE_SQL + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(count(*) / (sa.n + sb.n - count(*)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    JOIN sizes sa ON sa.doc_id = a.doc_id
+    JOIN sizes sb ON sb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+    ORDER BY id_a, id_b
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_jaccard, word_shingles
+
+    docs = _pair_corpus(spark, sf_dir)
+    sh = word_shingles(docs, n=3)
+    all_pairs = (
+        sh.alias("a").join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return exact_jaccard(sh, all_pairs).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash LSH candidate pairs (engine-portable hash family)
+# --------------------------------------------------------------------------
+
+_MH_HASHES = 8
+_MH_BANDS = 4
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"min(md5('{s}|' || shingle)) AS h{s}" for s in range(_MH_HASHES)
+    )
+    rows_per_band = _MH_HASHES // _MH_BANDS
+    band_rows = []
+    for b in range(_MH_BANDS):
+        cols = " || '|' || ".join(
+            f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_rows.append(f"SELECT id, {b} AS band, md5({cols}) AS bucket FROM sig")
+    buckets = " UNION ALL ".join(band_rows)
+    return _SHINGLE_SQL + f""",
+    sig AS (SELECT doc_id AS id, {mins} FROM sh GROUP BY doc_id),
+    buckets AS ({buckets})
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ORDER BY id_a, id_b
+    """
+
+
+@_register("minhash_lsh_pairs", _minhash_sql())
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures, word_shingles
+
+    docs = _pair_corpus(spark, sf_dir)
+    sigs = minhash_signatures(word_shingles(docs, n=3), num_hashes=_MH_HASHES)
+    return lsh_candidate_pairs(
+        sigs, bands=_MH_BANDS, rows_per_band=_MH_HASHES // _MH_BANDS
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (16-bit, engine-portable md5 bit extraction)
+# --------------------------------------------------------------------------
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    sums = ", ".join(
+        "sum(2 * ((strpos('0123456789abcdef', substr(md5(w), "
+        f"{b // 4 + 1}, 1)) - 1 >> {3 - b % 4}) & 1) - 1) AS s{b}"
+        for b in range(bits)
+    )
+    value = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    sums AS (SELECT id, {sums} FROM toks GROUP BY id)
+    SELECT id, CAST({value} AS BIGINT) AS simhash FROM sums ORDER BY id
+    """
+
+
+@_register("simhash_16", _simhash_sql())
+def q_simhash_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k over embeddings
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT qid, nid,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))), 6) AS cos
+      FROM q, c WHERE qid <> nid
+    ),
+    ranked AS (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid) AS rank
+      FROM scored
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, cos, rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(emb, emb.where("vec_id < 3"), k=5)
+
+
+# --------------------------------------------------------------------------
+# Language ID + token stats (training-data text analysis)
+# --------------------------------------------------------------------------
+
+
+def _lang_sql() -> str:
+    from .operators.text_metrics import _LANG_MARKERS
+
+    selects = []
+    for lang, markers in _LANG_MARKERS.items():
+        terms = " + ".join(
+            f"(length(p) - length(replace(p, '{m}', ''))) / {len(m)}.0"
+            for m in markers
+        )
+        selects.append(f"SELECT doc_id, '{lang}' AS lang, ({terms}) AS score "
+                       "FROM padded")
+    union = " UNION ALL ".join(selects)
+    return f"""
+    WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p
+                    FROM documents),
+    scores AS ({union}),
+    ranked AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang DESC) AS rn
+      FROM scores
+    )
+    SELECT doc_id, lang AS predicted_lang, round(score, 6) AS lang_score
+    FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """
+
+
+@_register("language_id", _lang_sql())
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_metrics import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+@_register(
+    "token_stats",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS bpe_tokens,
+           length(text) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_metrics import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Rows-only queries (non-SQL-expressible ops — driver records a weaker
+# check; full verification lives in pytest)
+# --------------------------------------------------------------------------
+
+
+@_register("near_duplicates_minhash_full")
+def q_near_duplicates_minhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import near_duplicates_minhash
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    return near_duplicates_minhash(docs, threshold=0.4, num_hashes=8, bands=4)
+
+
+@_register("ann_topk_lsh")
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk(emb, emb.where("vec_id < 5"), k=5, dim=64,
+                    tables=16, planes=4)
+
+
+@_register("winnowing_fingerprint_overlap")
+def q_winnowing_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_metrics import fingerprint_overlap_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    return fingerprint_overlap_pairs(docs, min_shared=3)
+
+
+@_register("media_feature_extraction")
+def q_media_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_media_features, synth_media_table
+
+    docs = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") < 500)
+    return extract_media_features(synth_media_table(spark, docs))
+
+
+@_register("span_extraction_pipeline")
+def q_span_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.span_extract import extract_documents
+    from .sources.spanize import spanized_documents
+
+    extracted = extract_documents(spanized_documents(_docs(spark, sf_dir)))
+    return extracted.select(
+        "doc_id", "status", "via", "chars_extracted",
+        "n_text_spans", "n_media_spans",
+    )
