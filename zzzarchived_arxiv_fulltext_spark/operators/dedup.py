@@ -130,8 +130,19 @@ def exact_jaccard(shingled: DataFrame, pairs: DataFrame) -> DataFrame:
     """
     sizes = shingled.groupBy("id").agg(F.count("*").alias("n_shingles"))
 
-    a = shingled.alias("sa")
-    b = shingled.alias("sb")
+    # restrict the shingle self-join to documents that appear in a
+    # candidate pair BEFORE joining on shingle — otherwise the
+    # intersection blow-up happens on the whole corpus and the
+    # candidate filter arrives too late to help
+    candidate_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    narrowed = shingled.join(candidate_ids, on="id", how="left_semi")
+
+    a = narrowed.alias("sa")
+    b = narrowed.alias("sb")
     inter = (
         a.join(b, F.col("sa.shingle") == F.col("sb.shingle"))
         .select(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))

@@ -425,9 +425,9 @@ def q_event_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity)::BIGINT AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+           (sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))))::DOUBLE AS sum_disc_price,
            count(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -442,8 +442,8 @@ def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").cast("bigint").alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum(price * disc).alias("sum_disc_price"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -453,8 +453,8 @@ def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     """
     SELECT n.n_name AS nation,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS revenue,
+           (sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l.l_discount AS DECIMAL(18,2))))::DOUBLE AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -479,7 +479,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(revenue).alias("revenue"),
+            F.sum(revenue).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
