@@ -41,11 +41,17 @@ def compare(name, spark_df, duck_rows, duck_cols):
     s_rows = spark_df.collect()
     if len(s_rows) != len(duck_rows):
         return f"ROWCOUNT mismatch: spark={len(s_rows)} duck={len(duck_rows)}"
+    def key(t):
+        return tuple((v is None, str(type(v)), v if v is not None else 0)
+                     for v in t)
+
     s_vals = sorted(
-        tuple(_norm(r[c]) for c in s_cols) for r in s_rows
+        (tuple(_norm(r[c]) for c in s_cols) for r in s_rows), key=key
     )
     idx = [duck_cols.index(c) for c in d_cols]
-    d_vals = sorted(tuple(_norm(r[i]) for i in idx) for r in duck_rows)
+    d_vals = sorted(
+        (tuple(_norm(r[i]) for i in idx) for r in duck_rows), key=key
+    )
     if s_vals != d_vals:
         for a, b in zip(s_vals, d_vals):
             if a != b:

@@ -835,3 +835,131 @@ def q_span_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "status", "via", "chars_extracted",
         "n_text_spans", "n_media_spans",
     )
+
+
+# --------------------------------------------------------------------------
+# Sessionization (batch oracle form of the stateful streaming operator)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN ts >= lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1
+                  ELSE 0 END AS nw
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sid AS (
+      SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS s
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS session_end_us,
+           count(*) AS n_events,
+           sum(value)::DOUBLE AS total_value
+    FROM sid GROUP BY user_id, s
+    ORDER BY user_id, session_start_us
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.sessionize import sessionize_batch
+
+    return sessionize_batch(_events(spark, sf_dir), gap_minutes=30).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        "total_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational completeness: top-k, set operations, rollup
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice::DOUBLE AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey",
+                F.col("o_totalprice").cast("double").alias("total"))
+        .limit(10)
+    )
+
+
+@_register(
+    "purchasers_without_errors",
+    """
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND value > 190
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'error' AND value > 190
+    ORDER BY user_id
+    """,
+)
+def q_purchasers_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    buyers = ev.where("event_type = 'purchase' AND value > 190"
+                      ).select("user_id")
+    erring = ev.where("event_type = 'error' AND value > 190"
+                      ).select("user_id")
+    return buyers.subtract(erring)  # EXCEPT (set semantics)
+
+
+@_register(
+    "engaged_buyers",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'click'
+    ORDER BY user_id
+    """,
+)
+def q_engaged_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.where("event_type = 'purchase'").select("user_id")
+        .intersect(ev.where("event_type = 'click'").select("user_id"))
+    )
+
+
+@_register(
+    "pricing_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           sum(l_quantity)::BIGINT AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+             F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty", "n",
+        )
+    )
