@@ -80,32 +80,47 @@ def repair_line_breaks(lines: Iterable[str]) -> List[str]:
 # --- per-line scalar chain ---------------------------------------------------
 
 # Abbreviation expansions; parity: ``expandWords`` (psv.py:151-167).
-_EXPANSIONS = tuple(
-    (re.compile(pat, re.IGNORECASE), repl)
-    for pat, repl in (
-        (r"Fig[s]?[\.]?\s", "Figure "),
-        (r"Eq[s]?[\.]?\s", "Equation "),
-        (r"Sect[s]?[\.]?\s", "Section "),
-        (r"Ref[s]?[\.]?\s", "Reference "),
-        (r"Prof\.", "Prof"),
-        (r"Dr\.", "Dr"),
-    )
+# The reference applies six sequential case-insensitive substitutions.
+# The patterns have no leading context, are prefix-disjoint, and no
+# replacement text can create a match for another pattern, so one
+# alternation pass with leftmost-alternative priority is equivalent to
+# the sequential passes (validated by the dev-time fuzz harness
+# against the reference implementation).
+_EXPANSION_RX = re.compile(
+    r"(?P<fig>Fig[s]?[\.]?\s)|(?P<eq>Eq[s]?[\.]?\s)"
+    r"|(?P<sect>Sect[s]?[\.]?\s)|(?P<ref>Ref[s]?[\.]?\s)"
+    r"|(?P<prof>Prof\.)|(?P<dr>Dr\.)",
+    re.IGNORECASE,
 )
+_EXPANSION_OUT = {
+    "fig": "Figure ", "eq": "Equation ", "sect": "Section ",
+    "ref": "Reference ", "prof": "Prof", "dr": "Dr",
+}
+
+
+def _expand_match(m: "re.Match") -> str:
+    return _EXPANSION_OUT[m.lastgroup]
+
 
 # The scalar cleanup chain applied to every line, in order
-# (psv.py:86-92). Each entry is (pattern, replacement); patterns are
-# applied with global, left-to-right, non-overlapping substitution —
-# the same semantics as the reference's sequential ``re.subn`` calls.
+# (psv.py:86-92). Each entry is (pattern, replacement) with global,
+# left-to-right, non-overlapping substitution — the reference's
+# sequential ``re.subn`` semantics. Two pairs of consecutive reference
+# passes are merged into single alternation passes because the second
+# pattern of each pair can never match text produced by the first
+# ('_' is \w so the symbol class never yields it; digit runs replaced
+# by spaces never yield digits) — also fuzz-validated:
 _SCALAR_CHAIN = tuple(
     (re.compile(pat), repl)
     for pat, repl in (
         # symbols -> space; parity: _remove_Symbols (psv.py:170-174)
-        (r"[^\.\w ]", " "),
-        (r"\_", " "),
+        (r"[^\.\w ]|_", " "),
         # digits -> space; parity: _remove_Numbers (psv.py:177-181)
-        (r"\d+[\.]?\d+/", " "),
-        (r"\d", " "),
-        # dotted abbreviations; parity: _remove_Abbrev (psv.py:184-193)
+        (r"\d+[\.]?\d+/|\d", " "),
+        # dotted abbreviations; parity: _remove_Abbrev (psv.py:184-193).
+        # NOT merged: each pass consumes surrounding whitespace, and a
+        # later pass must see the space characters the earlier pass's
+        # replacement re-introduced.
         (r"\s\w\.\w\.\w\.\s", " "),
         (r"\s\w\.\w\.\s", " "),
         (r"\s\w\.\s", " "),
@@ -120,17 +135,19 @@ _SCALAR_CHAIN = tuple(
     )
 )
 
+_WS_RUN = re.compile(r"\s+")
+_LEADING_WS = re.compile(r"^\s+")
+_TRAILING_WS = re.compile(r"\s+$")
+
 
 def expand_abbreviations(line: str) -> str:
     """Parity: ``expandWords`` (psv.py:151-167)."""
-    for pattern, repl in _EXPANSIONS:
-        line = pattern.sub(repl, line)
-    return line
+    return _EXPANSION_RX.sub(_expand_match, line)
 
 
 def scrub_line(line: str) -> str:
     """Expand abbreviations then run the scalar cleanup chain."""
-    line = expand_abbreviations(line)
+    line = _EXPANSION_RX.sub(_expand_match, line)
     for pattern, repl in _SCALAR_CHAIN:
         line = pattern.sub(repl, line)
     return line
@@ -138,8 +155,8 @@ def scrub_line(line: str) -> str:
 
 def collapse_spaces(line: str) -> str:
     """Parity: ``_remove_ExtraSpaces`` (psv.py:204-208)."""
-    line = re.sub(r"\s+", " ", line)
-    return re.sub(r"^\s+", "", line)
+    line = _WS_RUN.sub(" ", line)
+    return _LEADING_WS.sub("", line)
 
 
 # --- sentence passes ----------------------------------------------------------
@@ -168,8 +185,8 @@ def clean_sentences(lines: Iterable[str]) -> Iterator[str]:
         if not _HAS_WORD.match(line):
             continue
         line = collapse_spaces(_NON_WORD.sub(" ", line))
-        line = re.sub(r"^\s+", "", line)
-        line = re.sub(r"\s+$", "", line)
+        line = _LEADING_WS.sub("", line)
+        line = _TRAILING_WS.sub("", line)
         if len(line) <= 3:
             continue
         yield line.lower()
