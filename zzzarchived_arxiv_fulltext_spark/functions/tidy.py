@@ -110,30 +110,20 @@ def _expand_match(m: "re.Match") -> str:
 # pattern of each pair can never match text produced by the first
 # ('_' is \w so the symbol class never yields it; digit runs replaced
 # by spaces never yield digits) — also fuzz-validated:
-_SCALAR_CHAIN = tuple(
-    (re.compile(pat), repl)
-    for pat, repl in (
-        # symbols -> space; parity: _remove_Symbols (psv.py:170-174)
-        (r"[^\.\w ]|_", " "),
-        # digits -> space; parity: _remove_Numbers (psv.py:177-181)
-        (r"\d+[\.]?\d+/|\d", " "),
-        # dotted abbreviations; parity: _remove_Abbrev (psv.py:184-193).
-        # NOT merged: each pass consumes surrounding whitespace, and a
-        # later pass must see the space characters the earlier pass's
-        # replacement re-introduced.
-        (r"\s\w\.\w\.\w\.\s", " "),
-        (r"\s\w\.\w\.\s", " "),
-        (r"\s\w\.\s", " "),
-        # single letters; applied twice to catch overlapping matches;
-        # parity: _remove_SingleAlphabet (psv.py:196-201)
-        (r"\s[a-zA-Z]\s", " "),
-        (r"\s[a-zA-Z]\s", " "),
-        (r"\s[a-zA-Z]\.", "."),
-        # space collapse; parity: _remove_ExtraSpaces (psv.py:204-208)
-        (r"\s+", " "),
-        (r"^\s+", ""),
-    )
-)
+# symbols -> space; parity: _remove_Symbols (psv.py:170-174)
+_SYMBOLS = re.compile(r"[^\.\w ]|_")
+# digits -> space; parity: _remove_Numbers (psv.py:177-181)
+_DIGITS = re.compile(r"\d+[\.]?\d+/|\d")
+# dotted abbreviations; parity: _remove_Abbrev (psv.py:184-193).
+# NOT merged: each pass consumes surrounding whitespace, and a later
+# pass must see the space characters an earlier pass re-introduced.
+_ABBREV3 = re.compile(r"\s\w\.\w\.\w\.\s")
+_ABBREV2 = re.compile(r"\s\w\.\w\.\s")
+_ABBREV1 = re.compile(r"\s\w\.\s")
+# single letters; applied twice to catch overlapping matches;
+# parity: _remove_SingleAlphabet (psv.py:196-201)
+_SINGLE = re.compile(r"\s[a-zA-Z]\s")
+_SINGLE_DOT = re.compile(r"\s[a-zA-Z]\.")
 
 _WS_RUN = re.compile(r"\s+")
 _LEADING_WS = re.compile(r"^\s+")
@@ -146,11 +136,26 @@ def expand_abbreviations(line: str) -> str:
 
 
 def scrub_line(line: str) -> str:
-    """Expand abbreviations then run the scalar cleanup chain."""
+    """Expand abbreviations then run the scalar cleanup chain.
+
+    Same pass order as tidy_txt_from_pdf (psv.py:86-92). Passes whose
+    pattern requires a literal '.' are gated on a C-level containment
+    check — skipping a pass that cannot match is identical to running
+    it.
+    """
     line = _EXPANSION_RX.sub(_expand_match, line)
-    for pattern, repl in _SCALAR_CHAIN:
-        line = pattern.sub(repl, line)
-    return line
+    line = _SYMBOLS.sub(" ", line)
+    line = _DIGITS.sub(" ", line)
+    if "." in line:
+        line = _ABBREV3.sub(" ", line)
+        line = _ABBREV2.sub(" ", line)
+        line = _ABBREV1.sub(" ", line)
+    line = _SINGLE.sub(" ", line)
+    line = _SINGLE.sub(" ", line)
+    if "." in line:
+        line = _SINGLE_DOT.sub(".", line)
+    line = _WS_RUN.sub(" ", line)
+    return _LEADING_WS.sub("", line)
 
 
 def collapse_spaces(line: str) -> str:

@@ -47,28 +47,35 @@ _LIGATURES = (
 )
 
 # Manual typography rules appended after the ligature table
-# (parity source: fixunicode.py:76-89). Order preserved.
-_MANUAL = (
-    # sharp-s only at a non-word-boundary (leading \B guard keeps a
-    # standalone beta-like sharp-s intact)
-    (r"(\B)ß", r"\1ss"),
+# (parity source: fixunicode.py:76-89).
+# All rules except sharp-s are single-codepoint substitutions with
+# ASCII outputs, so they fold — together with the ligature table —
+# into ONE ``str.translate`` pass (C speed, order-free because the
+# source codepoints are disjoint and no output can match a rule).
+# Sharp-s keeps its regex: the \B guard needs word-boundary context
+# (a standalone beta-like sharp-s stays intact).
+_SHARP_S = re.compile(r"(\B)ß")
+
+_CHAR_RULES = tuple(_LIGATURES) + (
     ("\xa0", " "),                 # no-break space -> plain space
-    (r"[‘’]", "'"),      # curly single quotes
-    (r"[“”]", '"'),      # curly double quotes
-    (r"[\xad—]", "-"),        # soft hyphen / em dash
-    (r"\xb7", "*"),                # middle dot
+    ("‘", "'"), ("’", "'"),        # curly single quotes
+    ("“", '"'), ("”", '"'),        # curly double quotes
+    ("\xad", "-"), ("—", "-"),     # soft hyphen / em dash
+    ("\xb7", "*"),                 # middle dot
 )
 
-_RULES = tuple(
-    (re.compile(pat), repl) for pat, repl in (tuple(_LIGATURES) + _MANUAL)
-)
+_TRANSLATE = {ord(src): out for src, out in _CHAR_RULES}
 
 
 def fix_unicode(txt: str) -> str:
     """Replace display ligatures / typographic codepoints, then NFKC.
 
-    Parity: ``fixunicode.fix_unicode`` (fixunicode.py:92-108).
+    Parity: ``fixunicode.fix_unicode`` (fixunicode.py:92-108). Pure
+    ASCII is returned untouched — every rule and NFKC itself are
+    identity on ASCII, and the check is a C-level flag test.
     """
-    for pattern, repl in _RULES:
-        txt = pattern.sub(repl, txt)
+    if txt.isascii():
+        return txt
+    txt = _SHARP_S.sub(r"\1ss", txt)
+    txt = txt.translate(_TRANSLATE)
     return unicodedata.normalize("NFKC", txt)
