@@ -137,6 +137,25 @@ def run_extraction(
     return snap_id
 
 
+def get_document(
+    spark: SparkSession, output_table: SnapshotTable, doc_id: str
+) -> Optional[dict]:
+    """Point retrieval of one extracted document (latest version).
+
+    Spark restatement of the reference's GET endpoint
+    (``fulltext/routes.py:87-121`` → ``controllers.retrieve`` →
+    latest-version resolution ``store.py:145-165``): a predicate on
+    the committed table; the in-progress/303 state doesn't exist
+    because visibility is snapshot-atomic.
+    """
+    rows = (
+        read_extracted(spark, output_table)
+        .where(F.col("doc_id") == doc_id)
+        .collect()
+    )
+    return rows[0].asDict(recursive=True) if rows else None
+
+
 def read_extracted(spark: SparkSession, output_table: SnapshotTable) -> DataFrame:
     """Latest-version view of the committed output (J3 semantics).
 
