@@ -57,12 +57,14 @@ _TEXT_RESULT = T.StructType(
 )
 
 
-def _extract_texts(texts) -> dict:
+def _extract_texts(texts, compute_psv: bool = True) -> dict:
     """Per-document decision tree over the ordered text-span strings.
 
     Identical semantics to ``functions.extract.extract_document`` —
     same helpers, same gate, same fallback — operating on the text
-    list the JVM already ordered by offset.
+    list the JVM already ordered by offset. ``compute_psv=False``
+    skips the PSV normalization stage (the dominant per-doc cost,
+    ~60%) for consumers that only need cleaned plain text.
     """
     raw = list(texts)
     primary = [_clean_primary(t or "") for t in raw]
@@ -79,7 +81,7 @@ def _extract_texts(texts) -> dict:
         return {
             "texts": chosen,
             "plain_text": plain,
-            "psv_text": normalize_text_psv(plain),
+            "psv_text": normalize_text_psv(plain) if compute_psv else None,
             "status": STATUS_SUCCEEDED,
             "failure_class": None,
             "via": via,
@@ -99,6 +101,13 @@ def _extract_texts(texts) -> dict:
 @pandas_udf(_TEXT_RESULT)
 def extract_texts_udf(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame([_extract_texts(doc) for doc in texts])
+
+
+@pandas_udf(_TEXT_RESULT)
+def extract_texts_no_psv_udf(texts: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(
+        [_extract_texts(doc, compute_psv=False) for doc in texts]
+    )
 
 
 # JVM-side reassembly in two linear passes: (1) a prefix-count fold
@@ -150,12 +159,14 @@ def salt_column(parallelism: int, over: Optional[Column] = None) -> Column:
 
 
 def extract_documents(df: DataFrame,
-                      parallelism: Optional[int] = None) -> DataFrame:
+                      parallelism: Optional[int] = None,
+                      compute_psv: bool = True) -> DataFrame:
     """input (doc_id, spans) → extracted output columns.
 
     Plan shape: scan → [optional repartition(salt)] → sort+project
     (JVM) → pandas UDF over text arrays → JVM reassembly. Map-only
-    unless salting is requested.
+    unless salting is requested. ``compute_psv=False`` emits a null
+    psv_text column and skips the PSV stage (~2x faster per doc).
     """
     if parallelism is not None:
         df = df.repartition(parallelism, salt_column(parallelism))
@@ -167,10 +178,11 @@ def extract_documents(df: DataFrame,
     )
     n_text = F.expr("size(filter(spans, s -> s.kind = 'text'))")
 
+    udf = extract_texts_udf if compute_psv else extract_texts_no_psv_udf
     return (
         df.withColumn("_sorted_spans", sorted_spans)
         .withColumn("_ranks", F.expr(_RANKS))
-        .withColumn("_r", extract_texts_udf(texts_in))
+        .withColumn("_r", udf(texts_in))
         .select(
             "doc_id",
             F.expr(_REASSEMBLE).alias("spans"),
