@@ -55,3 +55,30 @@ def test_embedding_near_duplicates_finds_planted_pair(spark, emb):
         with_dup, threshold=0.999, dim=64, tables=6, planes=8
     ).collect()
     assert any(r["id_a"] == 0 and r["id_b"] == 100000 for r in pairs)
+
+
+def test_ivf_recall_vs_brute_force(emb, spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    centroids = train_ivf_centroids(emb, n_centroids=8, iterations=4)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    queries = emb.where("vec_id < 10")
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, centroids, k=5, n_probes=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_ivf_centroids_deterministic(emb):
+    from zzzarchived_arxiv_fulltext_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    c1 = train_ivf_centroids(emb, n_centroids=4, iterations=2)
+    c2 = train_ivf_centroids(emb, n_centroids=4, iterations=2)
+    assert c1 == c2

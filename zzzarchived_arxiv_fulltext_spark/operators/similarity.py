@@ -230,3 +230,129 @@ def embedding_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("cos") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# --------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 5,
+    sample_fraction: float = 1.0,
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """K-means centroids trained distributed; returns a python list.
+
+    Init is deterministic (md5-seeded pseudo-Gaussian vectors, same
+    family as the SRP planes); each Lloyd iteration is one
+    assign+groupBy pass over the (optionally sampled) corpus — no
+    driver-side data beyond the k×dim centroid matrix.
+    """
+    import numpy as np
+
+    centroids = np.array(
+        [_hyperplane(1000 + c, 0, dim) for c in range(n_centroids)],
+        dtype=np.float64,
+    )
+    sample = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=42)
+
+    for _ in range(iterations):
+        assign = _nearest_centroid_udf(centroids)
+        sums = (
+            sample.withColumn("c", assign(F.col("v")))
+            .groupBy("c")
+            .agg(
+                F.array(*[
+                    F.sum(F.element_at("v", d + 1)) for d in range(dim)
+                ]).alias("vecsum"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = centroids.copy()
+        for row in sums:
+            c = row["c"]
+            new[c] = np.asarray(row["vecsum"]) / row["n"]
+        centroids = new
+    return [list(map(float, c)) for c in centroids]
+
+
+def _nearest_centroid_udf(centroids):
+    """pandas UDF: vector → nearest centroid id (numpy matmul batch)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(centroids, dtype=np.float64)  # k × dim
+
+    @pandas_udf(T.IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        # squared L2: |x|^2 - 2 x·c + |c|^2 ; |x|^2 constant per row
+        d = -2.0 * (x @ mat.T) + (mat * mat).sum(axis=1)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return nearest
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 10,
+    n_probes: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: exact cosine only within the query's nearest
+    ``n_probes`` clusters. Candidate volume ≈ N·probes/k_centroids;
+    the cluster assignment is the partition/bucketing key at scale.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(centroids, dtype=np.float64)
+    probes = n_probes
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_clusters(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = -2.0 * (x @ mat.T) + (mat * mat).sum(axis=1)
+        order = np.argsort(d, axis=1)[:, :probes]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    assign = _nearest_centroid_udf(centroids)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("cluster", assign(F.col("cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("cluster", F.explode(probe_clusters(F.col("qvec"))))
+
+    scored = (
+        c.join(F.broadcast(q), on="cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -963,3 +963,12 @@ def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty", "n",
         )
     )
+
+
+@_register("ivf_topk")
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = train_ivf_centroids(emb, n_centroids=8, iterations=3)
+    return ivf_topk(emb, emb.where("vec_id < 5"), centroids, k=5, n_probes=3)
