@@ -21,8 +21,21 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+def _prepare(spark: SparkSession) -> None:
+    """Ship the engine package to the session's executors.
+
+    The driver harness builds its OWN SparkSession from an arbitrary
+    cwd; without this, executor python workers cannot unpickle the
+    engine's UDFs. Idempotent per application.
+    """
+    from zzzarchived_arxiv_fulltext_spark.config import ship_package
+
+    ship_package(spark)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: interleaved-span extraction on sf0.001."""
+    _prepare(spark)
     from zzzarchived_arxiv_fulltext_spark.operators.span_extract import (
         extract_documents,
     )
@@ -43,7 +56,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from zzzarchived_arxiv_fulltext_spark.queries import QUERIES
 
-    return dict(QUERIES)
+    def with_shipping(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare(spark)
+            return fn(spark, sf_dir)
+        return wrapped
+
+    return {name: with_shipping(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

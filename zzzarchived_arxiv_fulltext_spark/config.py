@@ -20,14 +20,21 @@ from pyspark.sql import SparkSession
 DEFAULT_ARROW_BATCH = 256
 
 
-def _ship_package(spark: SparkSession) -> None:
+_SHIPPED_APPS: set = set()
+
+
+def ship_package(spark: SparkSession) -> None:
     """Make this package importable on executors regardless of cwd.
 
     The spark-submit equivalent of ``--py-files engine.zip``: zip the
     package and register it with the SparkContext so python workers
     can unpickle the UDFs when the driver is launched from any
-    directory.
+    directory. Safe to call on ANY session (including one built by an
+    external harness) and idempotent per application.
     """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     base = os.path.join(tempfile.gettempdir(),
                         f"spark_graft_pyfiles_{os.getpid()}")
@@ -35,6 +42,10 @@ def _ship_package(spark: SparkSession) -> None:
                                    root_dir=os.path.dirname(pkg_dir),
                                    base_dir=os.path.basename(pkg_dir))
     spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_APPS.add(app_id)
+
+
+_ship_package = ship_package  # backward-compat alias
 
 
 def build_spark(
