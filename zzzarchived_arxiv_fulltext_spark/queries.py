@@ -972,3 +972,109 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     centroids = train_ivf_centroids(emb, n_centroids=8, iterations=3)
     return ivf_topk(emb, emb.where("vec_id < 5"), centroids, k=5, n_probes=3)
+
+
+# --------------------------------------------------------------------------
+# Flagship pipeline, oracle-checked: on the span-ized documents corpus
+# (single-line ASCII, quality gate always passes via 'primary'), every
+# output metric is a closed-form function of the source text — so the
+# ENTIRE extraction pipeline (sort → UDF → reassembly → metrics) gets
+# driver-verified value equality, not just a rows-only check.
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "span_extraction_metrics",
+    """
+    SELECT doc_id::VARCHAR AS doc_id,
+           'succeeded' AS status,
+           'primary' AS via,
+           length(text)::BIGINT AS chars_extracted,
+           greatest(cast(ceil(len(string_split(text, ' ')) / 12.0) AS INT), 1)
+             AS n_text_spans,
+           1 AS n_media_spans
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_span_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.span_extract import extract_documents
+    from .sources.spanize import spanized_documents
+
+    return extract_documents(spanized_documents(_docs(spark, sf_dir))).select(
+        "doc_id", "status", "via", "chars_extracted",
+        "n_text_spans", "n_media_spans",
+    )
+
+
+# --------------------------------------------------------------------------
+# Full MinHash near-dup pipeline with exact-Jaccard verification,
+# oracle-checked end-to-end (md5 hash family is engine-portable).
+# --------------------------------------------------------------------------
+
+
+def _near_dup_sql(threshold: float = 0.4, hashes: int = 8,
+                  bands: int = 4) -> str:
+    rows = hashes // bands
+    mins = ", ".join(f"min(md5('{s}|' || shingle)) AS h{s}"
+                     for s in range(hashes))
+    band_rows = " UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({cols}) AS bucket FROM sig".format(
+            b=b,
+            cols=" || '|' || ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE doc_id < 200
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM words, UNNEST(range(1, greatest(len(ws) - 1, 2))) AS t(i)
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+    buckets AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      JOIN cand c ON c.id_a = a.id AND c.id_b = b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT i.id_a, i.id_b,
+           i.n_inter / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+ORACLES["near_duplicates_minhash_full"] = _near_dup_sql()
+
+
+# --------------------------------------------------------------------------
+# Embedding near-duplicates (LSH-bucketed), rows-only with a planted
+# positive so the run is never vacuous.
+# --------------------------------------------------------------------------
+
+
+@_register("embedding_near_duplicates")
+def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.where("vec_id < 3").select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding", "label"
+    )
+    return embedding_near_duplicates(
+        emb.unionByName(planted), threshold=0.999, dim=64,
+        tables=6, planes=8,
+    )
