@@ -1,10 +1,15 @@
-"""Multimodal plumbing tests (decode kernels stubbed, plumbing real)."""
+"""Multimodal tests: header decode is real (pure-Python PNG/JPEG/GIF
+byte-structure parse); the feature vector is the documented
+deterministic embedding stand-in."""
 
 import pytest
 from pyspark.sql import functions as F
 
 from zzzarchived_arxiv_fulltext_spark.operators.multimodal import (
+    decode_image_header,
     extract_media_features,
+    jpeg_header,
+    png_header,
     sample_frames,
     sniff_format,
     synth_media_table,
@@ -26,13 +31,47 @@ def test_sniff_format_magic_bytes():
     assert sniff_format(None) is None
 
 
-def test_feature_extraction_plumbing(media):
-    feats = extract_media_features(media)
-    rows = feats.collect()
+def test_png_header_decode():
+    hdr = decode_image_header(png_header(640, 480, 8) + b"trailing")
+    assert hdr == {"width": 640, "height": 480, "bit_depth": 8}
+    hdr16 = decode_image_header(png_header(1024, 768, 16))
+    assert hdr16 == {"width": 1024, "height": 768, "bit_depth": 16}
+    # truncated / corrupt headers fail cleanly
+    assert decode_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") is None
+    assert decode_image_header(b"\x89PNG\r\n\x1a\n" + b"x" * 20) is None
+
+
+def test_jpeg_header_decode_walks_segments():
+    hdr = decode_image_header(jpeg_header(1280, 720) + b"garbage")
+    assert hdr == {"width": 1280, "height": 720, "bit_depth": 8}
+    # SOI with no SOF
+    assert decode_image_header(b"\xff\xd8\xff\xd9") is None
+    assert decode_image_header(b"\xff\xd8zz") is None
+
+
+def test_gif_header_decode():
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(
+        2, "little") + bytes([0xF7]) + b"\x00\x00"
+    assert decode_image_header(gif) == {
+        "width": 320, "height": 200, "bit_depth": 8}
+    assert decode_image_header(b"GIF89a\x01") is None
+
+
+def test_feature_extraction_decodes_image_headers(media):
+    rows = extract_media_features(media).collect()
     assert len(rows) == 30
-    png = [r for r in rows if r["sniffed_format"] == "png"]
-    assert png and all(len(r["feature"]) == 16 for r in png)
-    assert all(r["decode_status"] == "fake_decode" for r in rows)
+    images = [r for r in rows if r["media_type"] == "image"]
+    assert images
+    for r in images:
+        assert r["decode_status"] == "decoded"
+        assert r["sniffed_format"] in ("png", "jpeg")
+        assert (r["width"], r["height"]) in (
+            (640, 480), (800, 600), (1024, 768), (1280, 720))
+        assert r["bit_depth"] in (8, 16)
+    others = [r for r in rows if r["media_type"] != "image"]
+    assert others and all(r["decode_status"] == "fake_decode" for r in others)
+    assert all(r["width"] is None for r in others)
+    assert all(len(r["feature"]) == 16 for r in rows)
     assert all(r["n_bytes"] > 0 for r in rows)
     # deterministic: same payload → same feature
     again = {(r["doc_id"]): r["feature"]
@@ -40,11 +79,14 @@ def test_feature_extraction_plumbing(media):
     assert all(again[r["doc_id"]] == r["feature"] for r in rows)
 
 
-def test_real_decoder_is_cleanly_stubbed(media, spark):
-    rows = extract_media_features(media, deterministic_fake=False).collect()
-    assert all(r["decode_status"] == "decoder_unavailable" for r in rows)
-    assert all(r["feature"] is None for r in rows)
-    assert all(r["sniffed_format"] is not None for r in rows)  # sniff still real
+def test_empty_payload_status(spark):
+    df = spark.createDataFrame(
+        [("d1", "ref1", "image", None)],
+        "doc_id string, media_ref string, media_type string, payload binary",
+    )
+    row = extract_media_features(df).collect()[0]
+    assert row["decode_status"] == "empty"
+    assert row["feature"] is None and row["n_bytes"] == 0
 
 
 def test_frame_sampling(media):

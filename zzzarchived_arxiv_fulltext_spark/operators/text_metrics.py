@@ -121,50 +121,42 @@ def language_id(df: DataFrame, text_col: str = "text",
 
 
 # --------------------------------------------------------------------------
-# document fingerprinting (rolling hash / winnowing)
+# document fingerprinting (winnowing)
 # --------------------------------------------------------------------------
 
-_MOD = (1 << 61) - 1
-_BASE = 257
+WINNOW_K = 8   # characters per k-gram
+WINNOW_W = 16  # k-grams per winnowing window
 
 
 @pandas_udf(T.ArrayType(T.LongType()))
 def winnowing_fingerprint_udf(texts: pd.Series) -> pd.Series:
-    """Winnowing fingerprints: k-gram rolling hashes, window minima.
+    """Winnowing fingerprints: k-gram hashes, window minima.
 
-    k=8, window=16 (Schleimer et al., SIGMOD'03 scheme). Vectorized
-    numpy per document; Arrow-batched.
+    k=8, window=16 (Schleimer et al., SIGMOD'03 scheme). The k-gram
+    hash is the top 60 bits of md5 — the engine-portable family used
+    throughout (MinHash, SimHash), so a DuckDB oracle reproduces the
+    fingerprints exactly. Window minima are numpy-vectorized.
     """
-    import numpy as np
+    import hashlib
 
-    k, w = 8, 16
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    k, w = WINNOW_K, WINNOW_W
 
     def fp(text: str) -> List[int]:
         if not text or len(text) < k:
             return []
-        data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
-        n = len(data) - k + 1
-        if n <= 0:
-            return []
-        # polynomial rolling hash over uint64 (natural mod 2^64)
-        h = np.zeros(len(data) - k + 1, dtype=np.uint64)
-        acc = np.uint64(0)
-        base = np.uint64(_BASE)
-        for i in range(k):
-            acc = acc * base + np.uint64(data[i])
-        h[0] = acc
-        top = base ** np.uint64(k - 1)
-        for i in range(1, n):
-            acc = (acc - np.uint64(data[i - 1]) * top) * base \
-                + np.uint64(data[i + k - 1])
-            h[i] = acc
+        n = len(text) - k + 1
+        h = np.fromiter(
+            (int(hashlib.md5(text[i:i + k].encode("utf-8"))
+                 .hexdigest()[:15], 16) for i in range(n)),
+            dtype=np.int64, count=n,
+        )
         if n <= w:
-            return [int(h.min() & np.uint64(0x7FFFFFFFFFFFFFFF))]
-        # window minima via stride trick
-        from numpy.lib.stride_tricks import sliding_window_view
+            return [int(h.min())]
         mins = sliding_window_view(h, w).min(axis=1)
-        picked = np.unique(mins)
-        return [int(v & 0x7FFFFFFFFFFFFFFF) for v in picked.tolist()]
+        return [int(v) for v in np.unique(mins).tolist()]
 
     return texts.map(fp)
 

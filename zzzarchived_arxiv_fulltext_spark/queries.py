@@ -53,16 +53,22 @@ _JUNK_RE = r"(\(cid:\d+\)|lllll|\.\.\.\.\.|\*\*\*\*\*)"
     "avg_word_length",
     f"""
     SELECT doc_id,
-           round(length(s) / (len(regexp_split_to_array(trim(s), '\\s+')) + 1), 6)
-             AS awl
+           round(length(s)
+                 / (len(list_filter(regexp_split_to_array(trim(s), '\\s+'),
+                                    x -> x <> '')) + 1), 6) AS awl
     FROM (SELECT doc_id, regexp_replace(text, '{_JUNK_RE}', '', 'g') AS s
           FROM documents)
     ORDER BY doc_id
     """,
 )
 def q_avg_word_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Python str.split() yields [] on blank text; filtering empties
+    # from the regex split matches that (reference quality gate).
     s = F.regexp_replace(F.col("text"), _JUNK_RE, "")
-    awl = F.length(s) / (F.size(F.split(F.trim(s), r"\s+")) + 1)
+    n_words = F.size(
+        F.filter(F.split(F.trim(s), r"\s+"), lambda x: x != F.lit(""))
+    )
+    awl = F.length(s) / (n_words + 1)
     return _docs(spark, sf_dir).select(
         "doc_id", F.round(awl, 6).alias("awl")
     )
@@ -800,16 +806,103 @@ def q_near_duplicates_minhash_full(spark: SparkSession, sf_dir: str) -> DataFram
     return near_duplicates_minhash(docs, threshold=0.4, num_hashes=8, bands=4)
 
 
-@_register("ann_topk_lsh")
+# --------------------------------------------------------------------------
+# ANN oracles via planted exact duplicates: three copies of each query
+# vector are planted into the corpus (ids +900000/+910000/+920000).
+# Identical vectors land in identical LSH buckets / IVF clusters
+# deterministically, so the approximate top-3 EQUALS the brute-force
+# top-3 (three cos=1.0 rows, tie-broken by id) — which IS expressible
+# in DuckDB. This turns the whole ANN machinery (bucketing, candidate
+# joins, scoring, window top-k) into a hash-checkable query.
+# --------------------------------------------------------------------------
+
+_ANN_PLANT_OFFSETS = (900000, 910000, 920000)
+
+_ANN_CORPUS_SQL = """
+      SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
+""" + " ".join(
+    f"""UNION ALL
+      SELECT vec_id + {off} AS nid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 5
+    """ for off in _ANN_PLANT_OFFSETS
+)
+
+_ANN_TOPK_ORACLE = f"""
+    WITH corpus AS ({_ANN_CORPUS_SQL}),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT qid, nid,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))), 6) AS cos
+      FROM q, corpus WHERE qid <> nid
+    ),
+    ranked AS (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid) AS rank
+      FROM scored
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, cos, rank
+    FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+    """
+
+
+def _planted_ann_inputs(spark: SparkSession, sf_dir: str):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select("vec_id", "embedding")
+    queries = emb.where("vec_id < 5").select("vec_id", "embedding")
+    for off in _ANN_PLANT_OFFSETS:
+        corpus = corpus.unionByName(
+            queries.select((F.col("vec_id") + off).alias("vec_id"),
+                           "embedding")
+        )
+    return corpus, queries
+
+
+@_register("ann_topk_lsh", _ANN_TOPK_ORACLE)
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ann_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_topk(emb, emb.where("vec_id < 5"), k=5, dim=64,
-                    tables=16, planes=4)
+    corpus, queries = _planted_ann_inputs(spark, sf_dir)
+    return ann_topk(corpus, queries, k=3, dim=64, tables=16, planes=4)
 
 
-@_register("winnowing_fingerprint_overlap")
+# Winnowing (k=8 char-grams, window=16, md5 hash family): the k-gram
+# hash is the top 60 bits of md5, so the whole scheme — hashes, window
+# minima, distinct fingerprints, overlap pairs — has a closed-form
+# DuckDB twin.
+_WINNOW_ORACLE = """
+    WITH docs AS (
+      SELECT doc_id, text, length(text) AS L
+      FROM documents WHERE doc_id < 300
+    ),
+    pos AS (
+      SELECT doc_id, i, L - 7 AS n,
+             ('0x' || substr(md5(substr(text, i::INT, 8)), 1, 15))::BIGINT
+               AS h
+      FROM docs, UNNEST(range(1, L - 7 + 1)) AS t(i)
+      WHERE L >= 8
+    ),
+    wmin AS (
+      SELECT doc_id, i, n,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+      FROM pos
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= greatest(n - 15, 1)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS shared_fingerprints
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@_register("winnowing_fingerprint_overlap", _WINNOW_ORACLE)
 def q_winnowing_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_metrics import fingerprint_overlap_pairs
 
@@ -817,23 +910,117 @@ def q_winnowing_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     return fingerprint_overlap_pairs(docs, min_shared=3)
 
 
-@_register("media_feature_extraction")
+def _blob_lit(b: bytes) -> str:
+    return "'" + "".join(f"\\x{c:02x}" for c in b) + "'::BLOB"
+
+
+def _media_sql() -> str:
+    """Closed-form DuckDB twin of the media feature pipeline.
+
+    The synth payloads are deterministic functions of doc_id and the
+    fake feature is md5-of-hex-of-payload, so every output column —
+    including the feature digest — is SQL-expressible.
+    """
+    from .operators.multimodal import VARIANT_DIMS, jpeg_header, png_header
+
+    img, width, height, depth = [], [], [], []
+    for rem in (0, 6, 12, 18, 3, 9, 15, 21):
+        w, h, d = VARIANT_DIMS[(rem % 24) // 6]
+        hdr = png_header(w, h, d) if rem % 6 == 0 else jpeg_header(w, h)
+        bd = d if rem % 6 == 0 else 8  # JPEG SOF precision is 8
+        img.append(f"WHEN doc_id % 24 = {rem} THEN {_blob_lit(hdr)}")
+        width.append(f"WHEN doc_id % 24 = {rem} THEN {w}")
+        height.append(f"WHEN doc_id % 24 = {rem} THEN {h}")
+        depth.append(f"WHEN doc_id % 24 = {rem} THEN {bd}")
+    img_case = "CASE " + " ".join(img) + " END"
+    # md5-digest bytes 0..15 as comma-joined ints == the Spark side's
+    # round-trip through the float feature (exact byte recovery)
+    byte_terms = ", ".join(
+        f"(('0x' || substr(mh, {2 * i + 1}, 2))::INT)::VARCHAR"
+        for i in range(16)
+    )
+    return f"""
+    WITH media AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN {img_case}
+                   ELSE 'ID3'::BLOB END
+              || encode(doc_id::VARCHAR)) AS payload
+      FROM documents WHERE doc_id < 500
+    ),
+    hashed AS (
+      SELECT doc_id, payload, md5(lower(hex(payload))) AS mh FROM media
+    )
+    SELECT doc_id::VARCHAR AS doc_id,
+           'img://' || doc_id AS media_ref,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+             AS media_type,
+           octet_length(payload) AS n_bytes,
+           CASE WHEN doc_id % 6 = 0 THEN 'png'
+                WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'mp3' END
+             AS sniffed_format,
+           CASE WHEN doc_id % 3 = 0 THEN 'decoded' ELSE 'fake_decode' END
+             AS decode_status,
+           CAST(CASE {' '.join(width)} ELSE -1 END AS INT) AS width,
+           CAST(CASE {' '.join(height)} ELSE -1 END AS INT) AS height,
+           CAST(CASE {' '.join(depth)} ELSE -1 END AS INT) AS bit_depth,
+           md5(concat_ws(',', {byte_terms})) AS feature_digest
+    FROM hashed ORDER BY doc_id
+    """
+
+
+@_register("media_feature_extraction", _media_sql())
 def q_media_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import extract_media_features, synth_media_table
 
     docs = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") < 500)
-    return extract_media_features(synth_media_table(spark, docs))
+    feats = extract_media_features(synth_media_table(spark, docs))
+    # The fake feature is (md5_byte/255)*2-1 stored as float32 — the
+    # byte recovers exactly under round(), giving a scalar digest the
+    # driver can hash (array<float> columns break its canonicalizer).
+    byte_strs = F.transform(
+        F.col("feature"),
+        lambda x: F.round((x.cast("double") + F.lit(1.0)) / 2.0 * 255.0)
+        .cast("int").cast("string"),
+    )
+    return feats.select(
+        "doc_id", "media_ref", "media_type", "n_bytes", "sniffed_format",
+        "decode_status",
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("bit_depth", F.lit(-1)).alias("bit_depth"),
+        F.md5(F.concat_ws(",", byte_strs)).alias("feature_digest"),
+    )
 
 
-@_register("span_extraction_pipeline")
-def q_span_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.span_extract import extract_documents
-    from .sources.spanize import spanized_documents
+# --------------------------------------------------------------------------
+# Watermarked windowed aggregation — batch form of the streaming
+# operator (streaming/windowed_metrics.py shares this exact plan); the
+# batch==stream parity pytest covers the watermark path.
+# --------------------------------------------------------------------------
 
-    extracted = extract_documents(spanized_documents(_docs(spark, sf_dir)))
-    return extracted.select(
-        "doc_id", "status", "via", "chars_extracted",
-        "n_text_spans", "n_media_spans",
+
+@_register(
+    "windowed_event_metrics",
+    """
+    SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start_epoch,
+           epoch(date_trunc('hour', ts))::BIGINT + 3600 AS window_end_epoch,
+           event_type,
+           count(*) AS n_events,
+           sum(value)::DOUBLE AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start_epoch, event_type
+    """,
+)
+def q_windowed_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windowed_metrics import windowed_event_metrics
+
+    m = windowed_event_metrics(_events(spark, sf_dir))
+    return m.select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        F.unix_timestamp("window_end").alias("window_end_epoch"),
+        "event_type", "n_events", "total_value",
     )
 
 
@@ -965,13 +1152,16 @@ def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("ivf_topk")
+@_register("ivf_topk", _ANN_TOPK_ORACLE)
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same planted-duplicate contract as ann_topk_lsh: identical
+    # vectors share a nearest centroid, the query's own cluster is
+    # always probe #1, so IVF top-3 == brute-force top-3.
     from .operators.similarity import ivf_topk, train_ivf_centroids
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    centroids = train_ivf_centroids(emb, n_centroids=8, iterations=3)
-    return ivf_topk(emb, emb.where("vec_id < 5"), centroids, k=5, n_probes=3)
+    corpus, queries = _planted_ann_inputs(spark, sf_dir)
+    centroids = train_ivf_centroids(corpus, n_centroids=8, iterations=3)
+    return ivf_topk(corpus, queries, centroids, k=3, n_probes=3)
 
 
 # --------------------------------------------------------------------------
@@ -1061,12 +1251,32 @@ ORACLES["near_duplicates_minhash_full"] = _near_dup_sql()
 
 
 # --------------------------------------------------------------------------
-# Embedding near-duplicates (LSH-bucketed), rows-only with a planted
-# positive so the run is never vacuous.
+# Embedding near-duplicates (LSH-bucketed) vs a brute-force oracle:
+# at threshold 0.999 the only qualifying pairs are the planted exact
+# duplicates, which collide in every LSH table deterministically —
+# so the bucketed result equals the DuckDB all-pairs scan.
 # --------------------------------------------------------------------------
 
+_EMB_NEAR_DUP_ORACLE = """
+    WITH c AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 500000 AS id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 3
+    ),
+    scored AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      FROM c a JOIN c b ON a.id < b.id
+    )
+    SELECT id_a, id_b, cos FROM scored
+    WHERE cos >= 0.999 ORDER BY id_a, id_b
+    """
 
-@_register("embedding_near_duplicates")
+
+@_register("embedding_near_duplicates", _EMB_NEAR_DUP_ORACLE)
 def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_near_duplicates
 
