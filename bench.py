@@ -17,8 +17,10 @@ Env knobs:
   SPARK_GRAFT_BENCH_DOCS  fixture doc count (default 120000)
 """
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -41,6 +43,35 @@ def ensure_fixture(spark, n_docs: int) -> str:
     if not os.path.exists(f"{path}/_SUCCESS"):
         write_spans_parquet(spark, path, n_docs)
     return path
+
+
+def find_regressions(query_secs: dict) -> dict:
+    """Diff per-query times against the latest BENCH_r{N}.json.
+
+    Flags queries >20% AND >0.5s slower than the previous round (the
+    absolute floor keeps sub-second timer noise out), so round-over-
+    round judging sees regressions mechanically.
+    """
+    here = Path(__file__).resolve().parent
+    rounds = []
+    for p in glob.glob(str(here / "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return {}
+    prev_path = max(rounds)[1]
+    try:
+        prev = json.loads(Path(prev_path).read_text()).get("queries", {})
+    except (json.JSONDecodeError, OSError):
+        return {}
+    out = {}
+    for name, now in query_secs.items():
+        before = prev.get(name)
+        if (isinstance(now, (int, float)) and isinstance(before, (int, float))
+                and now > before * 1.2 and now - before > 0.5):
+            out[name] = {"prev": before, "now": now}
+    return out
 
 
 def main():
@@ -90,6 +121,7 @@ def main():
         "bench_docs": n_docs,
         "extraction_elapsed_sec": round(elapsed, 3),
         "cpus": cpus,
+        "regressions_vs_prev_round": find_regressions(query_secs),
     }))
 
 

@@ -39,7 +39,7 @@ from ..functions.extract import (
 )
 from ..functions.psv import normalize_text_psv
 from ..functions.quality import MAX_AVG_WORD_LENGTH, average_word_length
-from ..schema import EXTRACT_RESULT
+from ..schema import DEFAULT_BUCKET, EXTRACT_RESULT
 
 # Struct returned per document by the thin UDF: cleaned text spans
 # (original text echoed back when the quality gate fails) + doc-level
@@ -178,6 +178,9 @@ def extract_documents(df: DataFrame,
     )
     n_text = F.expr("size(filter(spans, s -> s.kind = 'text'))")
 
+    bucket = (
+        F.col("bucket") if "bucket" in df.columns else F.lit(DEFAULT_BUCKET)
+    )
     udf = extract_texts_udf if compute_psv else extract_texts_no_psv_udf
     return (
         df.withColumn("_sorted_spans", sorted_spans)
@@ -185,6 +188,7 @@ def extract_documents(df: DataFrame,
         .withColumn("_r", udf(texts_in))
         .select(
             "doc_id",
+            bucket.alias("bucket"),
             F.expr(_REASSEMBLE).alias("spans"),
             F.col("_r.plain_text").alias("plain_text"),
             F.col("_r.psv_text").alias("psv_text"),
@@ -221,11 +225,15 @@ def extract_documents_struct(df: DataFrame,
     """Struct-transport variant of :func:`extract_documents`."""
     if parallelism is not None:
         df = df.repartition(parallelism, salt_column(parallelism))
+    bucket = (
+        F.col("bucket") if "bucket" in df.columns else F.lit(DEFAULT_BUCKET)
+    )
     started = F.current_timestamp()
     return (
         df.withColumn("result", extract_spans_udf(F.col("spans")))
         .select(
             "doc_id",
+            bucket.alias("bucket"),
             "result.*",
             F.lit(EXTRACTOR_VERSION).alias("extractor_version"),
             started.alias("started"),

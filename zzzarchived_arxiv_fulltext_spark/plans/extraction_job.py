@@ -29,8 +29,25 @@ from pyspark.sql.window import Window
 
 from .. import EXTRACTOR_VERSION
 from ..operators.span_extract import extract_documents
-from ..schema import LINEAGE_SCHEMA, OUTPUT_SCHEMA
+from ..schema import (
+    DEFAULT_BUCKET,
+    INPUT_SCHEMA,
+    LINEAGE_SCHEMA,
+    OUTPUT_SCHEMA,
+)
 from ..sources.tables import SnapshotTable
+
+
+def _with_bucket(df: DataFrame) -> DataFrame:
+    """Stamp the default namespace onto bucket-less inputs.
+
+    Reference bucket semantics (``fulltext/domain.py:87-94``): work
+    identity is (bucket, doc_id) — the same doc_id in the ``arxiv``
+    and ``submission`` namespaces is two distinct documents.
+    """
+    if "bucket" in df.columns:
+        return df
+    return df.withColumn("bucket", F.lit(DEFAULT_BUCKET))
 
 
 def pending_documents(
@@ -44,14 +61,15 @@ def pending_documents(
     ``force=True`` skips the dedup (reference: the ``force`` flag at
     ``fulltext/controllers.py:140``).
     """
+    input_df = _with_bucket(input_df)
     if force or not output_table.snapshots():
         return input_df
     done = (
         output_table.read(spark, OUTPUT_SCHEMA)
         .where(F.col("extractor_version") == EXTRACTOR_VERSION)
-        .select("doc_id")
+        .select("bucket", "doc_id")
     )
-    return input_df.join(done, on="doc_id", how="left_anti")
+    return input_df.join(done, on=["bucket", "doc_id"], how="left_anti")
 
 
 def _lineage_from_snapshot(
@@ -138,7 +156,10 @@ def run_extraction(
 
 
 def get_document(
-    spark: SparkSession, output_table: SnapshotTable, doc_id: str
+    spark: SparkSession,
+    output_table: SnapshotTable,
+    doc_id: str,
+    bucket: str = DEFAULT_BUCKET,
 ) -> Optional[dict]:
     """Point retrieval of one extracted document (latest version).
 
@@ -150,7 +171,7 @@ def get_document(
     """
     rows = (
         read_extracted(spark, output_table)
-        .where(F.col("doc_id") == doc_id)
+        .where((F.col("doc_id") == doc_id) & (F.col("bucket") == bucket))
         .collect()
     )
     return rows[0].asDict(recursive=True) if rows else None
@@ -159,16 +180,77 @@ def get_document(
 def read_extracted(spark: SparkSession, output_table: SnapshotTable) -> DataFrame:
     """Latest-version view of the committed output (J3 semantics).
 
-    One row per doc_id: the row from the lexicographically greatest
-    extractor_version (reference latest-version resolution,
-    ``fulltext/services/store/store.py:145-165``).
+    One row per (bucket, doc_id): the row with the numerically
+    greatest extractor version — the reference float-sorts versions
+    (``fulltext/services/store/store.py:145-165``,
+    ``sorted(map(float, ...))``), so "10.0" must beat "9.0" despite
+    sorting lexicographically smaller. Non-numeric versions fall back
+    to string order, after any numeric one.
     """
     out = output_table.read(spark, OUTPUT_SCHEMA)
-    latest = Window.partitionBy("doc_id").orderBy(
-        F.desc("extractor_version"), F.desc("ended")
+    version_num = F.regexp_extract(
+        "extractor_version", r"(\d+(\.\d+)?)$", 1
+    ).cast("double")
+    latest = Window.partitionBy("bucket", "doc_id").orderBy(
+        F.desc_nulls_last(version_num),
+        F.desc("extractor_version"),
+        F.desc("ended"),
     )
     return (
         out.withColumn("_rank", F.row_number().over(latest))
         .where(F.col("_rank") == 1)
         .drop("_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Steady-state incremental extraction: snapshot-delta reads instead of
+# the anti-join. At 10^12 committed rows the anti-join's build side is
+# a full scan of the done-set every run; an incremental consumer reads
+# ONLY the input snapshots committed since its last run. The consumed
+# position is stored in the output commit's manifest entry — atomic
+# with the data — so a crash between "write" and "record position" is
+# impossible by construction. The anti-join path (run_extraction)
+# remains the reconciliation/backfill tool.
+# ---------------------------------------------------------------------------
+
+
+def consumed_input_snapshot(output_table: SnapshotTable) -> int:
+    """Highest input-snapshot id already folded into committed output."""
+    ids = [
+        s["consumed_input_snapshot"]
+        for s in output_table.snapshots()
+        if s.get("consumed_input_snapshot") is not None
+    ]
+    return max(ids) if ids else 0
+
+
+def run_extraction_incremental(
+    spark: SparkSession,
+    input_table: SnapshotTable,
+    output_table: SnapshotTable,
+    lineage_table: Optional[SnapshotTable] = None,
+    parallelism: Optional[int] = None,
+) -> Optional[int]:
+    """Extract exactly the input snapshots not yet consumed.
+
+    Returns the committed output snapshot id, or None when the input
+    has no new snapshots. No join anywhere: the plan is scan(delta) →
+    extract → write, regardless of how large the committed history is.
+    """
+    if lineage_table is not None:
+        _heal_lineage(spark, output_table, lineage_table)
+    last = consumed_input_snapshot(output_table)
+    head = input_table.latest_snapshot_id() or 0
+    if head <= last:
+        return None
+    todo = input_table.read_since(spark, last, INPUT_SCHEMA, up_to=head)
+    extracted = extract_documents(todo, parallelism=parallelism)
+    snap_id = output_table.append(
+        extracted, meta={"consumed_input_snapshot": head}
+    )
+    if lineage_table is not None:
+        lineage_table.append(
+            _lineage_from_snapshot(spark, output_table, snap_id)
+        )
+    return snap_id

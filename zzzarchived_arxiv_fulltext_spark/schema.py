@@ -50,9 +50,19 @@ EXTRACT_RESULT = T.StructType(
     ]
 )
 
-# Committed output table = doc_id + everything above + lineage columns.
+# Bucket namespaces (reference ``fulltext/domain.py:87-94``: the
+# ``arxiv`` vs ``submission`` buckets). An OPTIONAL input column —
+# the input_hint mandates exactly (doc_id, spans), so inputs without
+# it are stamped with the default at extraction time.
+DEFAULT_BUCKET = "arxiv"
+
+# Committed output table = doc_id + bucket + everything above +
+# lineage columns.
 OUTPUT_SCHEMA = T.StructType(
-    [T.StructField("doc_id", T.StringType(), False)]
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("bucket", T.StringType(), False),
+    ]
     + EXTRACT_RESULT.fields
     + [
         T.StructField("extractor_version", T.StringType(), False),

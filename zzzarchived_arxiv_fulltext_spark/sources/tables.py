@@ -63,7 +63,7 @@ class SnapshotTable:
 
     # -- write --------------------------------------------------------------
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, meta: Optional[dict] = None) -> int:
         """Write ``df`` as a new snapshot; visible only after commit.
 
         Data lands in an uncommitted staging directory first; the
@@ -71,14 +71,23 @@ class SnapshotTable:
         crash at any earlier point leaves an orphan dir that readers
         never see (crash-safety parity with at-least-once redo,
         ``fulltext/config.py:326-342``).
+
+        ``meta`` keys are stored in the manifest entry — committed
+        atomically WITH the data. Incremental consumers record their
+        source position here (Iceberg snapshot summary shape), so a
+        crash can never separate "data committed" from "position
+        advanced".
         """
         snap_id = (self.latest_snapshot_id() or 0) + 1
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         final = os.path.join(self.path, f"snap-{snap_id:05d}")
         os.replace(staging, final)
-        self._commit({"id": snap_id, "dir": os.path.basename(final),
-                      "ts": time.time(), "rows": None})
+        entry = {"id": snap_id, "dir": os.path.basename(final),
+                 "ts": time.time(), "rows": None}
+        if meta:
+            entry.update(meta)
+        self._commit(entry)
         return snap_id
 
     # -- read ---------------------------------------------------------------
@@ -105,17 +114,22 @@ class SnapshotTable:
         return spark.read.parquet(self.snapshot_dir(snap_id))
 
     def read_since(self, spark: SparkSession, after_snap_id: int,
-                   schema: Optional[T.StructType] = None) -> DataFrame:
+                   schema: Optional[T.StructType] = None,
+                   up_to: Optional[int] = None) -> DataFrame:
         """Rows committed strictly after ``after_snap_id``.
 
         The incremental-read primitive (Iceberg's incremental scan
         shape): downstream consumers track the last snapshot they
         processed and read only newer ones — at 10^12-row scale this
-        replaces the anti-join for steady-state increments.
+        replaces the anti-join for steady-state increments. ``up_to``
+        bounds the scan (inclusive) so a consumer that captured the
+        head position first is immune to commits racing in behind it.
         """
         dirs = [
             os.path.join(self.path, s["dir"])
-            for s in self.snapshots() if s["id"] > after_snap_id
+            for s in self.snapshots()
+            if s["id"] > after_snap_id
+            and (up_to is None or s["id"] <= up_to)
         ]
         if not dirs:
             if schema is None:
