@@ -1,0 +1,171 @@
+"""Raw-document ingestion: PDF text-layer parsing and HTML
+main-content extraction, down to the full extraction job."""
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from zzzarchived_arxiv_fulltext_spark.functions.html_extract import (
+    extract_main_text,
+    link_density,
+)
+from zzzarchived_arxiv_fulltext_spark.functions.pdf_text import (
+    count_pdf_images,
+    extract_pdf_page_texts,
+    extract_pdf_text,
+    make_simple_pdf,
+)
+from zzzarchived_arxiv_fulltext_spark.sources.pdf_ingest import pdf_to_spans
+
+
+# -- pure PDF parser ---------------------------------------------------------
+
+
+def test_pdf_round_trip_multipage():
+    pages = [["Hello world", "line two"], ["page two only"]]
+    pdf = make_simple_pdf(pages)
+    assert pdf.startswith(b"%PDF-1.4")
+    assert extract_pdf_page_texts(pdf) == ["Hello world\nline two",
+                                           "page two only"]
+    assert extract_pdf_text(pdf) == "Hello world\nline two\npage two only"
+
+
+def test_pdf_round_trip_uncompressed():
+    pdf = make_simple_pdf([["no filter here"]], compress=False)
+    assert extract_pdf_text(pdf) == "no filter here"
+
+
+def test_pdf_string_escapes_round_trip():
+    nasty = r"parens (nested (deep)) back\slash and \(escaped\)"
+    pdf = make_simple_pdf([[nasty]])
+    assert extract_pdf_text(pdf) == nasty
+
+
+def test_pdf_tj_array_kerning_and_hex_strings():
+    # hand-built content stream: TJ with a word-gap kern, hex string
+    raw = b"BT [ (Wor) -200 (ld) ] TJ T* <48656c6c6f> Tj ET"
+    body = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(raw), raw)
+    fake = b"%PDF-1.4\n1 0 obj\n" + body + b"\nendobj\n%%EOF"
+    assert extract_pdf_text(fake) == "Wor ld\nHello"
+    # small kerns do NOT break words
+    raw2 = b"BT [ (ker) -50 (ned) ] TJ ET"
+    body2 = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(raw2), raw2)
+    assert extract_pdf_text(b"1 0 obj\n" + body2) == "kerned"
+
+
+def test_pdf_garbage_and_corrupt_streams_are_skipped():
+    assert extract_pdf_text(b"") == ""
+    assert extract_pdf_text(b"not a pdf at all") == ""
+    corrupt = (b"<< /Length 5 /Filter /FlateDecode >>\nstream\n"
+               b"xxxxx\nendstream")
+    assert extract_pdf_text(corrupt) == ""
+
+
+def test_pdf_declared_length_wins_over_lexical_strip():
+    # a compressed body whose last byte is 0x0d — the case a naive
+    # trailing-EOL strip corrupts
+    payload = None
+    for i in range(50000):
+        c = zlib.compress(b"BT (tail%d) Tj ET" % i)
+        if c.endswith(b"\r"):
+            payload = (i, c)
+            break
+    assert payload is not None, "no \\r-terminated deflate found"
+    i, c = payload
+    pdf = (b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(c)
+           + c + b"\nendstream")
+    assert extract_pdf_text(pdf) == "tail%d" % i
+
+
+def test_pdf_image_xobjects_counted():
+    img = (b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+           b"/Length 3 >>\nstream\nabc\nendstream")
+    pdf = make_simple_pdf([["with image"]]) + b"\n9 0 obj\n" + img
+    assert count_pdf_images(pdf) == 1
+
+
+# -- Spark ingestion stage ----------------------------------------------------
+
+
+def test_pdf_to_spans_feeds_the_extraction_job(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.span_extract import (
+        extract_documents,
+    )
+
+    rows = [
+        ("d1", make_simple_pdf([["first page text here"],
+                                ["second page words"]])),
+        ("d2", make_simple_pdf([["only page"]]) + b"\n9 0 obj\n"
+         b"<< /Subtype /Image /Length 3 >>\nstream\nabc\nendstream"),
+        ("d3", b"broken pdf"),
+    ]
+    pdfs = spark.createDataFrame(rows, "doc_id string, pdf binary")
+    spans = pdf_to_spans(pdfs)
+    got = {r["doc_id"]: r["spans"] for r in spans.collect()}
+    assert [s["text"] for s in got["d1"]] == ["first page text here",
+                                              "second page words"]
+    assert [s["offset"] for s in got["d1"]] == [0, 1]
+    kinds = [s["kind"] for s in got["d2"]]
+    assert kinds == ["text", "media"]
+    assert got["d2"][1]["media_ref"] == "pdfimg://d2/0"
+    assert got["d3"] == []  # unparseable → empty spans, row kept
+
+    # downstream: the standard extraction operator consumes it as-is
+    out = {r["doc_id"]: r for r in extract_documents(spans).collect()}
+    assert out["d1"]["status"] == "succeeded"
+    assert out["d1"]["plain_text"] == "first page text here\nsecond page words"
+    assert out["d2"]["n_media_spans"] == 1
+    assert out["d3"]["chars_extracted"] == 0
+
+
+def test_pdf_engine_gate(spark):
+    with pytest.raises(ValueError):
+        pdf_to_spans(spark.createDataFrame(
+            [("x", b"")], "doc_id string, pdf binary"), engine="nope")
+
+
+# -- HTML main-content extraction ---------------------------------------------
+
+_PAGE = """<html><head><title>T</title><style>p{color:red}</style></head>
+<body><header><h1>Site</h1></header>
+<nav><a href="/">Home</a> <a href="/b">Blog</a></nav>
+<main><p>First real paragraph of body content.</p>
+<div><a href="x">link one</a> <a href="y">link two</a></div>
+<p>Second paragraph with a <a href="z">small link</a> inside longer
+ prose text.</p></main>
+<footer>Copyright 2026</footer><script>alert(1)</script></body></html>"""
+
+
+def test_html_boilerplate_and_link_farms_dropped():
+    got = extract_main_text(_PAGE)
+    assert got == ("First real paragraph of body content.\n"
+                   "Second paragraph with a small link inside longer "
+                   "prose text.")
+    assert 0 < link_density(_PAGE) < 1
+
+
+def test_html_edge_cases():
+    assert extract_main_text("") == ""
+    assert extract_main_text("just bare text") == "just bare text"
+    assert extract_main_text("<p>a &amp; b &lt;c&gt;</p>") == "a & b <c>"
+    # unclosed boilerplate swallows to end (conservative)
+    assert extract_main_text("<nav>menu<p>stuck in nav</p>") == ""
+    # whitespace normalization inside a block
+    assert extract_main_text("<p>two\n  spaced\twords</p>") == \
+        "two spaced words"
+
+
+def test_html_main_text_stage(spark):
+    from zzzarchived_arxiv_fulltext_spark.sources.html_ingest import (
+        html_main_text,
+    )
+
+    df = spark.createDataFrame(
+        [("a", _PAGE), ("b", "<p>tiny</p>"), ("c", None)],
+        "doc_id string, html string",
+    )
+    got = {r["doc_id"]: r["text"] for r in html_main_text(df).collect()}
+    assert got["a"].startswith("First real paragraph")
+    assert got["b"] == "tiny"
+    assert got["c"] == ""

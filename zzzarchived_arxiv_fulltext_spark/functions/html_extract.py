@@ -1,0 +1,130 @@
+"""HTML main-content extraction (stdlib only).
+
+The north rule's web-document leg: strip HTML boilerplate and keep the
+main content via DOM heuristics. Pure Python on ``html.parser`` so it
+runs in executor workers with zero provisioning:
+
+- structural boilerplate subtrees are dropped wholesale
+  (``nav``/``header``/``footer``/``aside``/``form``/``menu``), as are
+  non-content subtrees (``script``/``style``/``noscript``/``svg``/
+  ``template``);
+- remaining text is grouped into blocks at block-element boundaries;
+- per-block LINK DENSITY (anchor chars / total chars) drops residual
+  navigation clusters (link farms, breadcrumb rows, "related posts")
+  — the classic readability/boilerpipe signal;
+- whitespace is normalized within a block; blocks join with newlines.
+
+Deterministic by construction (no randomness, no scoring ties): the
+same document always yields the same extraction, which is what makes
+the Spark stage oracle-checkable.
+"""
+
+import re
+from html.parser import HTMLParser
+from typing import List
+
+_DROP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "svg", "iframe", "head"}
+)
+_BOILER_TAGS = frozenset(
+    {"nav", "header", "footer", "aside", "form", "menu", "button"}
+)
+_BLOCK_TAGS = frozenset(
+    {"p", "div", "section", "article", "main", "li", "ul", "ol",
+     "table", "tr", "td", "th", "blockquote", "pre", "br", "hr",
+     "h1", "h2", "h3", "h4", "h5", "h6", "figure", "figcaption"}
+)
+_WS_RE = re.compile(r"\s+")
+
+DEFAULT_MAX_LINK_DENSITY = 0.5
+
+
+class _Block:
+    __slots__ = ("chars", "link_chars")
+
+    def __init__(self):
+        self.chars: List[str] = []
+        self.link_chars: int = 0
+
+
+class _MainTextParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.drop_depth = 0
+        self.boiler_depth = 0
+        self.anchor_depth = 0
+        self.blocks: List[_Block] = []
+        self.cur = _Block()
+
+    def _flush(self):
+        if self.cur.chars:
+            self.blocks.append(self.cur)
+            self.cur = _Block()
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP_TAGS:
+            self.drop_depth += 1
+        elif tag in _BOILER_TAGS:
+            self.boiler_depth += 1
+        elif tag == "a":
+            self.anchor_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in _DROP_TAGS and self.drop_depth:
+            self.drop_depth -= 1
+        elif tag in _BOILER_TAGS and self.boiler_depth:
+            self.boiler_depth -= 1
+        elif tag == "a" and self.anchor_depth:
+            self.anchor_depth -= 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if self.drop_depth or self.boiler_depth:
+            return
+        if not data.strip():
+            return
+        self.cur.chars.append(data)
+        if self.anchor_depth:
+            self.cur.link_chars += len(data.strip())
+
+
+def extract_main_text(
+    html: str, max_link_density: float = DEFAULT_MAX_LINK_DENSITY
+) -> str:
+    """Main-content plain text: boilerplate-free blocks, one per line."""
+    if not html:
+        return ""
+    parser = _MainTextParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        return ""
+    parser._flush()
+    out = []
+    for block in parser.blocks:
+        text = _WS_RE.sub(" ", "".join(block.chars)).strip()
+        if not text:
+            continue
+        if block.link_chars / max(len(text), 1) > max_link_density:
+            continue
+        out.append(text)
+    return "\n".join(out)
+
+
+def link_density(html: str) -> float:
+    """Whole-document anchor-chars / text-chars (corpus triage stat)."""
+    parser = _MainTextParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        return 0.0
+    parser._flush()
+    total = sum(len(_WS_RE.sub(" ", "".join(b.chars)).strip())
+                for b in parser.blocks)
+    links = sum(b.link_chars for b in parser.blocks)
+    return links / total if total else 0.0

@@ -1,0 +1,317 @@
+"""Pure-Python PDF text-layer extraction (stdlib only).
+
+The reference shells out to pdf2txt / pdftotext subprocesses
+(``extractor/fulltext/fulltext.py:50-109``) inside a dedicated Docker
+image. The Spark-first restatement keeps extraction inside the
+executor's Python worker: this module parses the structure that
+born-digital PDFs actually use for their text layer —
+
+- object streams with ``/FlateDecode`` (zlib) or no filter,
+- ``BT``/``ET`` text objects,
+- show operators ``Tj``, ``'``, ``"`` and ``TJ`` (with kerning-aware
+  space insertion),
+- literal ``(...)`` strings (escapes, octal, nested parens) and hex
+  ``<...>`` strings,
+- line positioning via ``Td``/``TD``/``T*``/``Tm``,
+
+with zero external dependencies, so a raw-PDF corpus can be ingested
+with no cluster provisioning beyond ``--py-files``. For full-fidelity
+layout analysis of adversarial PDFs, ``sources/pdf_ingest.py`` can
+switch to pdfminer.six when it is installed.
+"""
+
+import re
+import zlib
+from typing import Iterator, List, Optional
+
+# object dictionary followed by its stream body
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
+_IMAGE_RE = re.compile(rb"/Subtype\s*/Image\b")
+
+# TJ kerning threshold (thousandths of an em): gaps wider than this
+# render as word spacing, mirroring pdftotext's word-break heuristic
+_TJ_SPACE_GAP = -180
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def iter_streams(pdf: bytes) -> Iterator[bytes]:
+    """Yield every decoded stream body in the file, in file order.
+
+    Works without the xref table (robust to the truncated/appended
+    PDFs common in web crawls): streams are located lexically, and
+    FlateDecode bodies that fail to inflate are skipped.
+    """
+    pos = 0
+    while True:
+        m = _STREAM_RE.search(pdf, pos)
+        if not m:
+            return
+        start = m.end()
+        end = pdf.find(b"endstream", start)
+        if end < 0:
+            return
+        # Prefer the declared /Length: binary stream data may itself
+        # end in 0x0a/0x0d, which a lexical EOL-strip would corrupt.
+        lm = re.search(rb"/Length\s+(\d+)\b", m.group(1))
+        if lm and start + int(lm.group(1)) <= end:
+            data = pdf[start:start + int(lm.group(1))]
+        else:
+            data = pdf[start:end]
+            if data.endswith(b"\r\n"):
+                data = data[:-2]
+            elif data.endswith(b"\n") or data.endswith(b"\r"):
+                data = data[:-1]
+        if b"/FlateDecode" in m.group(1):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                data = b""
+        if data:
+            yield data
+        pos = end + len(b"endstream")
+
+
+def _parse_literal_string(data: bytes, i: int) -> tuple:
+    """Parse a ``(...)`` string starting at ``data[i] == '('``."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(data)
+    while i < n and depth:
+        c = data[i:i + 1]
+        if c == b"\\":
+            nxt = data[i + 1:i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+            elif nxt.isdigit():  # octal escape, up to 3 digits
+                j = i + 1
+                while j < min(i + 4, n) and data[j:j + 1].isdigit():
+                    j += 1
+                out.append(int(data[i + 1:j], 8) & 0xFF)
+                i = j
+            else:  # line continuation or unknown escape: drop backslash
+                i += 2
+        elif c == b"(":
+            depth += 1
+            out += c
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth:
+                out += c
+            i += 1
+        else:
+            out += c
+            i += 1
+    return bytes(out), i
+
+
+def _parse_hex_string(data: bytes, i: int) -> tuple:
+    end = data.find(b">", i)
+    if end < 0:
+        return b"", len(data)
+    hexs = re.sub(rb"\s", b"", data[i + 1:end])
+    if len(hexs) % 2:
+        hexs += b"0"
+    try:
+        return bytes.fromhex(hexs.decode("ascii")), end + 1
+    except ValueError:
+        return b"", end + 1
+
+
+_NUMBER_RE = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)")
+_OPERATOR_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _stream_lines(data: bytes) -> List[str]:
+    """Run the text-op machine over one content stream → shown lines."""
+    lines: List[str] = []
+    cur: List[str] = []
+    operands: List[object] = []
+    in_array: Optional[List[object]] = None
+
+    def flush_line() -> None:
+        text = "".join(cur).strip()
+        if text:
+            lines.append(text)
+        cur.clear()
+
+    def show(parts) -> None:
+        buf = []
+        for p in parts:
+            if isinstance(p, bytes):
+                buf.append(p.decode("latin-1"))
+            elif isinstance(p, float) and p <= _TJ_SPACE_GAP:
+                buf.append(" ")
+        cur.append("".join(buf))
+
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i:i + 1]
+        if c in b" \t\r\n\x00":
+            i += 1
+        elif c == b"(":
+            s, i = _parse_literal_string(data, i)
+            (in_array if in_array is not None else operands).append(s)
+        elif c == b"<":
+            if data[i:i + 2] == b"<<":  # inline dict — skip balanced
+                depth, i = 1, i + 2
+                while i < n and depth:
+                    if data[i:i + 2] == b"<<":
+                        depth, i = depth + 1, i + 2
+                    elif data[i:i + 2] == b">>":
+                        depth, i = depth - 1, i + 2
+                    else:
+                        i += 1
+            else:
+                s, i = _parse_hex_string(data, i)
+                (in_array if in_array is not None else operands).append(s)
+        elif c == b"[":
+            in_array = []
+            i += 1
+        elif c == b"]":
+            operands.append(in_array or [])
+            in_array = None
+            i += 1
+        elif c == b"/":  # name object
+            m = re.match(rb"/[^\s()<>\[\]/%]*", data[i:])
+            i += m.end() if m else 1
+        elif c == b"%":  # comment to EOL
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        else:
+            m = _NUMBER_RE.match(data, i)
+            if m and not _OPERATOR_RE.match(data, i):
+                val = float(m.group())
+                (in_array if in_array is not None else operands).append(val)
+                i = m.end()
+                continue
+            m = _OPERATOR_RE.match(data, i)
+            if not m:
+                i += 1
+                continue
+            op = m.group()
+            i = m.end()
+            if op == b"Tj":
+                show(operands[-1:])
+            elif op == b"TJ":
+                arr = operands[-1] if operands else []
+                show(arr if isinstance(arr, list) else [arr])
+            elif op == b"'":
+                flush_line()
+                show(operands[-1:])
+            elif op == b'"':
+                flush_line()
+                show(operands[-1:])
+            elif op in (b"Td", b"TD"):
+                if len(operands) >= 2 and isinstance(operands[-1], float) \
+                        and operands[-1] != 0.0:
+                    flush_line()
+            elif op == b"T*":
+                flush_line()
+            elif op == b"Tm":
+                flush_line()
+            elif op in (b"BT", b"ET"):
+                flush_line()
+            operands = []
+    flush_line()
+    return lines
+
+
+def extract_pdf_page_texts(pdf: bytes) -> List[str]:
+    """Per-content-stream text blocks, in file order.
+
+    One entry per stream that showed any text (for typical one-
+    content-stream-per-page PDFs: one entry per page).
+    """
+    pages = []
+    for stream in iter_streams(pdf):
+        lines = _stream_lines(stream)
+        if lines:
+            pages.append("\n".join(lines))
+    return pages
+
+
+def extract_pdf_text(pdf: bytes) -> str:
+    """The whole text layer as one string (pages joined by newline)."""
+    return "\n".join(extract_pdf_page_texts(pdf))
+
+
+def count_pdf_images(pdf: bytes) -> int:
+    """Number of image XObjects declared in the file."""
+    return len(_IMAGE_RE.findall(pdf))
+
+
+# ---------------------------------------------------------------------------
+# Minimal-but-valid PDF writer (fixtures + round-trip tests): real
+# xref table, Flate-compressed content streams, escaped strings.
+# ---------------------------------------------------------------------------
+
+
+def _pdf_escape(s: str) -> bytes:
+    b = s.encode("latin-1", "replace")
+    return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def make_simple_pdf(pages: List[List[str]], compress: bool = True) -> bytes:
+    """Build a valid single-font PDF showing ``pages`` of text lines."""
+    objs: List[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    page_ids = []
+    content_ids = []
+    pages_id_placeholder = len(objs) + 2 * len(pages) + 1
+    for lines in pages:
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for k, line in enumerate(lines):
+            if k:
+                ops.append(b"0 -14 Td")
+            ops.append(b"(" + _pdf_escape(line) + b") Tj")
+        ops.append(b"ET")
+        stream = b" ".join(ops)
+        filt = b""
+        if compress:
+            stream = zlib.compress(stream)
+            filt = b" /Filter /FlateDecode"
+        content = add(
+            b"<< /Length %d%s >>\nstream\n%s\nendstream"
+            % (len(stream), filt, stream)
+        )
+        page = add(
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+            % (pages_id_placeholder, font, content)
+        )
+        page_ids.append(page)
+        content_ids.append(content)
+    kids = b" ".join(b"%d 0 R" % p for p in page_ids)
+    pages_id = add(
+        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_ids))
+    )
+    assert pages_id == pages_id_placeholder
+    catalog = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, catalog, xref_at)
+    )
+    return bytes(out)

@@ -994,6 +994,106 @@ def q_media_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Raw-document ingestion, oracle-checked end-to-end. Both queries
+# synthesize real raw documents (valid PDFs / full HTML pages) from
+# documents.text, run the actual parser stage, and must recover the
+# 12-word-chunk structure exactly — which is closed-form SQL.
+# --------------------------------------------------------------------------
+
+# chunks of 12 words joined by newline — the shared recovery target
+_CHUNKED_TEXT_SQL = """
+    SELECT doc_id::VARCHAR AS doc_id,
+           array_to_string(
+             list_transform(
+               range(0, greatest(cast(ceil(len(ws) / 12.0) AS INT), 1)),
+               k -> array_to_string(ws[k*12+1 : k*12+12], ' ')),
+             chr(10)) AS extracted
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents WHERE doc_id < 300)
+    ORDER BY doc_id
+    """
+
+
+def _chunked(text: str, n: int = 12) -> list:
+    ws = text.split(" ")
+    return [" ".join(ws[k * n:(k + 1) * n])
+            for k in range(max(-(-len(ws) // n), 1))]
+
+
+@_register("pdf_text_extraction", _CHUNKED_TEXT_SQL)
+def q_pdf_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real round trip: text → valid Flate-compressed PDF bytes →
+    stdlib content-stream parser → span table → reassembled text."""
+    import pandas as pd
+
+    from .functions.pdf_text import make_simple_pdf
+    from .sources.pdf_ingest import pdf_to_spans
+
+    docs = _docs(spark, sf_dir).where("doc_id < 300").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype(str),
+                "pdf": [make_simple_pdf([_chunked(t)]) for t in pdf["text"]],
+            })
+
+    pdfs = docs.mapInPandas(build, "doc_id string, pdf binary")
+    spans = pdf_to_spans(pdfs)
+    text = F.expr(
+        "array_join(transform(array_sort(filter(spans, s -> s.kind = 'text'),"
+        " (a, b) -> a.offset - b.offset), s -> s.text), '\\n')"
+    )
+    return spans.select("doc_id", text.alias("extracted"))
+
+
+_HTML_HEAD = (
+    "<html><head><title>doc</title><style>p{margin:0}</style></head><body>"
+    "<header><h1>Synthetic Corpus</h1></header>"
+    "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav><main>"
+)
+_HTML_TAIL = (
+    "</main><div><a href=\"/r1\">related one</a> "
+    "<a href=\"/r2\">related two</a></div>"
+    "<footer>generated page</footer>"
+    "<script>console.log('x')</script></body></html>"
+)
+
+
+@_register("html_main_content", _CHUNKED_TEXT_SQL)
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real round trip: text → full HTML page (nav/header/footer/link
+    farm/script boilerplate) → DOM-heuristic main-content extractor →
+    the content paragraphs, exactly."""
+    from .sources.html_ingest import html_main_text
+
+    docs = _docs(spark, sf_dir).where("doc_id < 300")
+    words = F.split("text", " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size(words) / F.lit(12)).cast("int"), F.lit(1)
+    )
+    paras = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda k: F.concat(
+                F.lit("<p>"),
+                F.array_join(F.slice(words, k * 12 + 1, 12), " "),
+                F.lit("</p>"),
+            ),
+        ),
+        F.lit(""),
+        lambda acc, x: F.concat(acc, x),
+    )
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit(_HTML_HEAD), paras, F.lit(_HTML_TAIL)).alias("html"),
+    )
+    return html_main_text(pages).select(
+        "doc_id", F.col("text").alias("extracted")
+    )
+
+
+# --------------------------------------------------------------------------
 # Watermarked windowed aggregation — batch form of the streaming
 # operator (streaming/windowed_metrics.py shares this exact plan); the
 # batch==stream parity pytest covers the watermark path.

@@ -1,0 +1,82 @@
+"""Raw-PDF ingestion: binary PDFs → the interleaved-span input table.
+
+The missing entry point for users whose corpus is actual PDF bytes
+rather than pre-parsed spans (the reference's whole job:
+``extractor/fulltext/fulltext.py:136-178``). One Arrow-batched
+``mapInPandas`` stage parses each document's text layer with the
+stdlib parser in ``functions/pdf_text.py`` and emits one text span
+per page plus one media span per embedded image — the exact
+``INPUT_SCHEMA`` shape the extraction pipeline consumes, so
+``extract_documents`` / ``run_extraction`` work unchanged downstream.
+
+``engine="pdfminer"`` switches to pdfminer.six (full layout analysis)
+when that optional dependency is installed; this container does not
+ship it, so the builtin parser is the default and the pdfminer path
+is import-gated.
+
+Scale shape: map-only (no shuffle), payload crosses into Python once,
+output is row-per-document — identical plan profile to the extraction
+hot path, so the same split sizing / skew arguments apply (SCALE.md).
+"""
+
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions.pdf_text import count_pdf_images, extract_pdf_page_texts
+from ..schema import INPUT_SCHEMA
+
+
+def _pdfminer_page_texts(pdf: bytes) -> List[str]:  # pragma: no cover
+    """Optional full-fidelity engine (pdfminer.six, if installed)."""
+    try:
+        import io
+
+        from pdfminer.high_level import extract_text
+    except ImportError as exc:
+        raise ImportError(
+            "engine='pdfminer' requires pdfminer.six, which is not "
+            "installed in this environment; use the default builtin "
+            "parser instead"
+        ) from exc
+    text = extract_text(io.BytesIO(pdf))
+    return [p for p in text.split("\f") if p.strip()]
+
+
+def pdf_to_spans(pdfs: DataFrame, engine: str = "builtin") -> DataFrame:
+    """(doc_id, pdf:binary) → (doc_id, spans) per INPUT_SCHEMA.
+
+    Text spans carry page text in page order (offset = position);
+    every embedded image XObject becomes a media span referencing the
+    source document, appended after the text spans.
+    """
+    if engine not in ("builtin", "pdfminer"):
+        raise ValueError(f"unknown engine {engine!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            out_ids, out_spans = [], []
+            for doc_id, payload in zip(pdf_batch["doc_id"],
+                                       pdf_batch["pdf"]):
+                data = bytes(payload) if payload is not None else b""
+                if engine == "pdfminer":
+                    pages = _pdfminer_page_texts(data)
+                else:
+                    pages = extract_pdf_page_texts(data)
+                spans = [
+                    {"kind": "text", "text": page, "media_ref": None,
+                     "offset": k}
+                    for k, page in enumerate(pages)
+                ]
+                for m in range(count_pdf_images(data)):
+                    spans.append({
+                        "kind": "media", "text": None,
+                        "media_ref": f"pdfimg://{doc_id}/{m}",
+                        "offset": len(pages) + m,
+                    })
+                out_ids.append(doc_id)
+                out_spans.append(spans)
+            yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+
+    return pdfs.mapInPandas(run, schema=INPUT_SCHEMA)
