@@ -71,3 +71,33 @@ def test_anti_join_prunes_output_scan(spark, tmp_path):
     assert out_scan, f"no pruned output scan found in:\n{schemas}"
     assert all("plain_text" not in s and "psv_text" not in s
                for s in out_scan)
+
+
+def test_ingestion_stages_are_map_only(spark):
+    from zzzarchived_arxiv_fulltext_spark.sources.html_ingest import (
+        html_main_text,
+    )
+    from zzzarchived_arxiv_fulltext_spark.sources.pdf_ingest import (
+        pdf_to_spans,
+    )
+
+    pdfs = spark.createDataFrame([("a", b"%PDF")],
+                                 "doc_id string, pdf binary")
+    plan = _plan(pdf_to_spans(pdfs))
+    assert "Exchange" not in plan and "Join" not in plan
+
+    pages = spark.createDataFrame([("a", "<p>x</p>")],
+                                  "doc_id string, html string")
+    plan = _plan(html_main_text(pages))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_ann_query_broadcasts_queries(spark):
+    from zzzarchived_arxiv_fulltext_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["ann_topk_lsh"](spark, "/root/testdata/sf0.001"))
+    # candidate generation must be a broadcast bucket equi-join, never
+    # a sort-merge of the corpus
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
