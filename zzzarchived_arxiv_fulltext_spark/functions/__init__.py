@@ -12,6 +12,8 @@ from .quality import average_word_length, strip_layout_junk, MAX_AVG_WORD_LENGTH
 from .tidy import tidy_lines
 from .psv import normalize_text_psv, process_text, split_on_references
 from .extract import extract_document
+from .pdf_text import extract_pdf_text, extract_pdf_page_texts, make_simple_pdf
+from .html_extract import extract_main_text, link_density
 
 __all__ = [
     "fix_unicode",
@@ -23,4 +25,9 @@ __all__ = [
     "process_text",
     "split_on_references",
     "extract_document",
+    "extract_pdf_text",
+    "extract_pdf_page_texts",
+    "make_simple_pdf",
+    "extract_main_text",
+    "link_density",
 ]

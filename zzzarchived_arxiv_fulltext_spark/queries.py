@@ -1260,7 +1260,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk, train_ivf_centroids
 
     corpus, queries = _planted_ann_inputs(spark, sf_dir)
-    centroids = train_ivf_centroids(corpus, n_centroids=8, iterations=3)
+    # result is centroid-invariant (identical vectors co-cluster, the
+    # query's own cluster is probe #1) — train on a sample, briefly
+    centroids = train_ivf_centroids(corpus, n_centroids=8, iterations=2,
+                                    sample_fraction=0.5)
     return ivf_topk(corpus, queries, centroids, k=3, n_probes=3)
 
 
