@@ -994,6 +994,56 @@ def q_media_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Deterministic sampling / dataset splits (content-stable md5 buckets;
+# RNG sampling is not reproducible across engines, hash buckets are)
+# --------------------------------------------------------------------------
+
+_SAMPLING_BUCKET_SQL = (
+    "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {b}"
+)
+
+
+def _sampling_sql() -> tuple:
+    from .operators.sampling import HASH_BUCKETS, split_boundaries
+
+    bucket = _SAMPLING_BUCKET_SQL.format(b=HASH_BUCKETS)
+    sample = f"""
+    SELECT doc_id FROM documents
+    WHERE {bucket} < {int(0.1 * HASH_BUCKETS)}
+    ORDER BY doc_id
+    """
+    bounds = split_boundaries({"train": 0.8, "val": 0.1, "test": 0.1})
+    cases = " ".join(
+        f"WHEN b < {upper} THEN '{name}'" for name, upper in bounds[:-1]
+    )
+    split = f"""
+    SELECT doc_id, CASE {cases} ELSE '{bounds[-1][0]}' END AS split
+    FROM (SELECT doc_id, {bucket} AS b FROM documents)
+    ORDER BY doc_id
+    """
+    return sample, split
+
+
+_SAMPLE_SQL, _SPLIT_SQL = _sampling_sql()
+
+
+@_register("deterministic_sample_10pct", _SAMPLE_SQL)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import deterministic_sample
+
+    return deterministic_sample(_docs(spark, sf_dir), 0.1).select("doc_id")
+
+
+@_register("train_val_test_split", _SPLIT_SQL)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+# --------------------------------------------------------------------------
 # Raw-document ingestion, oracle-checked end-to-end. Both queries
 # synthesize real raw documents (valid PDFs / full HTML pages) from
 # documents.text, run the actual parser stage, and must recover the
