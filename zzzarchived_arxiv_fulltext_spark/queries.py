@@ -1044,6 +1044,66 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PII redaction + context-window segmentation (corpus-prep operators)
+# --------------------------------------------------------------------------
+
+# synthetic PII header prepended to each doc (corpus text itself is
+# PII-free, so positives are planted — same device as the
+# expand_abbreviations query)
+_PII_HEADER = (
+    "Contact john.doe@example.com or https://ex.com/p?q=1 "
+    "call +1 (555) 123-4567 ip 192.168.1.10 then "
+)
+
+
+def _pii_sql() -> str:
+    from .operators.redact import PII_PATTERNS
+
+    src = f"'{_PII_HEADER}' || substr(text, 1, 60)"
+    redacted = src
+    counts, stage = [], src
+    for name, pattern, repl in PII_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all({stage}, '{pattern}')) AS n_{name}"
+        )
+        stage = f"regexp_replace({stage}, '{pattern}', '{repl}', 'g')"
+        redacted = f"regexp_replace({redacted}, '{pattern}', '{repl}', 'g')"
+    return f"""
+    SELECT doc_id, {redacted} AS redacted, {', '.join(counts)}
+    FROM documents ORDER BY doc_id
+    """
+
+
+@_register("pii_redaction", _pii_sql())
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.redact import redact_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit(_PII_HEADER), F.substring("text", 1, 60))
+        .alias("text"),
+    )
+    return redact_pii(docs)
+
+
+@_register(
+    "context_segments",
+    """
+    SELECT doc_id, k AS seg_id,
+           array_to_string(ws[k*32+1 : k*32+48], ' ') AS seg_text
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         UNNEST(range(0, greatest(cast(ceil((len(ws) - 48) / 32.0) AS INT)
+                                  + 1, 1))) AS t(k)
+    ORDER BY doc_id, seg_id
+    """,
+)
+def q_context_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.redact import segment_tokens
+
+    return segment_tokens(_docs(spark, sf_dir), max_tokens=48, stride=32)
+
+
+# --------------------------------------------------------------------------
 # Raw-document ingestion, oracle-checked end-to-end. Both queries
 # synthesize real raw documents (valid PDFs / full HTML pages) from
 # documents.text, run the actual parser stage, and must recover the
