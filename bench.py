@@ -45,7 +45,26 @@ def ensure_fixture(spark, n_docs: int) -> str:
     return path
 
 
-def find_regressions(query_secs: dict) -> dict:
+def calibration_seconds() -> float:
+    """Fixed single-threaded pure-Python workload (~0.5 s on an idle
+    box). The sandbox VM's effective CPU speed varies with invisible
+    host-level contention; recording this alongside each round's
+    numbers lets round-over-round comparisons normalize for it.
+    """
+    from zzzarchived_arxiv_fulltext_spark.functions import extract_document
+
+    spans = [
+        {"kind": "text", "text": ("word " * 200 + "ﬁn- \nish. ") * 3,
+         "media_ref": None, "offset": i}
+        for i in range(4)
+    ]
+    t0 = time.perf_counter()
+    for _ in range(200):
+        extract_document(spans)
+    return time.perf_counter() - t0
+
+
+def find_regressions(query_secs: dict, calibration: float) -> dict:
     """Diff per-query times against the latest BENCH_r{N}.json.
 
     Flags queries >20% AND >0.5s slower than the previous round (the
@@ -62,15 +81,37 @@ def find_regressions(query_secs: dict) -> dict:
         return {}
     prev_path = max(rounds)[1]
     try:
-        prev = json.loads(Path(prev_path).read_text()).get("queries", {})
+        doc = json.loads(Path(prev_path).read_text())
     except (json.JSONDecodeError, OSError):
         return {}
+    if "queries" not in doc and isinstance(doc.get("tail"), str):
+        # the round driver wraps bench stdout in {"tail": ...}; the
+        # bench JSON line is the last {"metric": ...} object inside
+        start = doc["tail"].rfind('{"metric"')
+        if start < 0:
+            return {}
+        try:
+            doc = json.loads(doc["tail"][start:].splitlines()[0])
+        except json.JSONDecodeError:
+            return {}
+    prev = doc.get("queries", {})
+    if not isinstance(prev, dict):
+        return {}
+    # normalize for box-speed drift when both rounds are calibrated
+    scale = 1.0
+    prev_cal = doc.get("calibration_sec")
+    if isinstance(prev_cal, (int, float)) and prev_cal > 0 and calibration:
+        scale = calibration / prev_cal
     out = {}
     for name, now in query_secs.items():
         before = prev.get(name)
-        if (isinstance(now, (int, float)) and isinstance(before, (int, float))
-                and now > before * 1.2 and now - before > 0.5):
-            out[name] = {"prev": before, "now": now}
+        if not isinstance(now, (int, float)) or \
+                not isinstance(before, (int, float)):
+            continue
+        adjusted = before * scale
+        if now > adjusted * 1.2 and now - adjusted > 0.5:
+            out[name] = {"prev": before, "prev_adjusted": round(adjusted, 3),
+                         "now": now}
     return out
 
 
@@ -79,6 +120,8 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    calibration = calibration_seconds()
 
     spark = build_spark(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
@@ -121,7 +164,8 @@ def main():
         "bench_docs": n_docs,
         "extraction_elapsed_sec": round(elapsed, 3),
         "cpus": cpus,
-        "regressions_vs_prev_round": find_regressions(query_secs),
+        "calibration_sec": round(calibration, 3),
+        "regressions_vs_prev_round": find_regressions(query_secs, calibration),
     }))
 
 

@@ -1044,6 +1044,64 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus statistics: exact distributed percentiles + vocabulary top-k
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "length_percentiles",
+    """
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90,
+           round(quantile_cont(n_chars, 0.99), 6) AS p99,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact percentiles (linear interpolation — same definition as
+    # quantile_cont), distributed via Spark's percentile aggregate
+    pct = F.expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))")
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(pct.alias("p"), F.count("*").alias("n_docs"))
+        .select(
+            "lang",
+            F.round(F.element_at("p", 1), 6).alias("p50"),
+            F.round(F.element_at("p", 2), 6).alias("p90"),
+            F.round(F.element_at("p", 3), 6).alias("p99"),
+            "n_docs",
+        )
+    )
+
+
+@_register(
+    "vocab_top_tokens",
+    """
+    SELECT w AS token, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+    ORDER BY freq DESC, token
+    LIMIT 50
+    """,
+)
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the vocabulary-building primitive: explode → partial-agg count →
+    # global top-k (map-side combine keeps the shuffle at |vocab|,
+    # not |tokens|)
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
 # PII redaction + context-window segmentation (corpus-prep operators)
 # --------------------------------------------------------------------------
 
