@@ -1,0 +1,70 @@
+"""End-to-end corpus preparation: funnel semantics + committed output."""
+
+from pyspark.sql import functions as F
+
+from zzzarchived_arxiv_fulltext_spark.plans.corpus_prep import (
+    corpus_prep_funnel,
+    run_corpus_prep,
+)
+from zzzarchived_arxiv_fulltext_spark.sources.tables import SnapshotTable
+
+
+def _corpus(spark):
+    rows = [
+        # (doc_id, text, lang)
+        (1, "the quick brown fox jumps over the lazy dog again and "
+            "again because the quick brown fox likes to jump over "
+            "lazy dogs every single day of the week", "en"),
+        (2, "tiny", "en"),                              # quality: too short
+        (3, "der schnelle braune fuchs springt immer wieder ueber den "
+            "faulen hund weil der schnelle braune fuchs gerne ueber "
+            "faule hunde springt jeden einzelnen tag der woche", "de"),
+        (4, "the quick brown fox jumps over the lazy dog again and "
+            "again because the quick brown fox likes to jump over "
+            "lazy dogs every single day of the week", "en"),  # exact dup of 1
+        (5, "the quick brown fox jumps over the lazy dog again and "
+            "again because the quick brown fox likes to jump over "
+            "lazy dogs every single day of the month", "en"),  # near dup of 1
+        (6, "completely different content about distributed query "
+            "engines and their shuffle behavior at large scale with "
+            "columnar storage formats and vectorized execution paths "
+            "mail me at a@b.co now", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string, lang string")
+
+
+def test_funnel_assigns_first_failing_stage(spark):
+    stages = {
+        r["doc_id"]: r["stage"]
+        for r in corpus_prep_funnel(
+            _corpus(spark), min_tokens=10, max_avg_token_len=8.0,
+            near_threshold=0.5,
+        ).collect()
+    }
+    assert len(stages) == 6  # every input row is accounted for
+    assert stages[2] == "drop_quality"
+    assert stages[3] == "drop_lang"
+    assert stages[4] == "drop_exact_dup"   # larger id of the exact pair
+    assert stages[5] == "drop_near_dup"    # larger id of the near pair
+    assert stages[1].startswith("kept_")   # the representative survives
+    assert stages[6].startswith("kept_")
+
+
+def test_run_corpus_prep_commits_redacted_splits(spark, tmp_path):
+    corpus = SnapshotTable(str(tmp_path / "corpus"))
+    funnel_t = SnapshotTable(str(tmp_path / "funnel"))
+    counts = run_corpus_prep(
+        spark, _corpus(spark), corpus, funnel_t,
+        min_tokens=10, max_avg_token_len=8.0, near_threshold=0.5,
+    )
+    assert sum(counts.values()) == 6
+    assert counts["drop_quality"] == 1 and counts["drop_exact_dup"] == 1
+
+    kept = corpus.read(spark).collect()
+    assert {r["doc_id"] for r in kept} == {1, 6}
+    assert all(r["split"] in ("train", "val", "test") for r in kept)
+    # PII was redacted on the way out
+    doc6 = [r for r in kept if r["doc_id"] == 6][0]
+    assert "<EMAIL>" in doc6["text"] and "a@b.co" not in doc6["text"]
+    # the committed funnel covers every input doc
+    assert funnel_t.read(spark).count() == 6

@@ -1044,6 +1044,123 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# End-to-end corpus-prep funnel: quality gate → language filter →
+# exact dedup → MinHash near-dup removal → split assignment, one
+# (doc_id, stage) row per input document. Exact and near duplicates
+# are planted (+10000 copies, +20000 tail-modified copies of
+# doc_id<30) so every stage catches real rows.
+# --------------------------------------------------------------------------
+
+_NEAR_TAIL = " extra near duplicate tail words appended"
+
+
+def _corpus_prep_sql() -> str:
+    from .operators.sampling import HASH_BUCKETS, split_boundaries
+
+    hashes, bands, rows = 8, 4, 2
+    mins = ", ".join(f"min(md5('{s}|' || shingle)) AS h{s}"
+                     for s in range(hashes))
+    band_rows = " UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({cols}) AS bucket FROM sig".format(
+            b=b,
+            cols=" || '|' || ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    bounds = split_boundaries({"train": 0.8, "val": 0.1, "test": 0.1})
+    split_case = " ".join(
+        f"WHEN b < {upper} THEN '{name}'" for name, upper in bounds[:-1]
+    )
+    bucket = _SAMPLING_BUCKET_SQL.format(b=HASH_BUCKETS)
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 10000, text, lang FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id + 20000, text || '{_NEAR_TAIL}', lang
+      FROM documents WHERE doc_id < 30
+    ),
+    m AS (
+      SELECT doc_id, text, lang,
+             len(string_split(text, ' ')) AS nt,
+             length(text) * 1.0 / len(string_split(text, ' ')) AS atl
+      FROM corpus
+    ),
+    d1 AS (SELECT doc_id, 'drop_quality' AS stage FROM m
+           WHERE nt < 25 OR atl > 6.0),
+    s1 AS (SELECT * FROM m WHERE NOT (nt < 25 OR atl > 6.0)),
+    d2 AS (SELECT doc_id, 'drop_lang' AS stage FROM s1 WHERE lang <> 'en'),
+    s2 AS (SELECT * FROM s1 WHERE lang = 'en'),
+    r AS (SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS rn
+          FROM s2),
+    d3 AS (SELECT doc_id, 'drop_exact_dup' AS stage FROM r WHERE rn > 1),
+    s3 AS (SELECT doc_id, text FROM r WHERE rn = 1),
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s3),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM words, UNNEST(range(1, greatest(len(ws) - 1, 2))) AS t(i)
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+    buckets AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      JOIN cand c ON c.id_a = a.id AND c.id_b = b.id
+      GROUP BY a.id, b.id
+    ),
+    nearids AS (
+      SELECT DISTINCT i.id_b AS doc_id
+      FROM inter i
+      JOIN sizes sa ON sa.id = i.id_a
+      JOIN sizes sb ON sb.id = i.id_b
+      WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= 0.4
+    ),
+    d4 AS (SELECT s3.doc_id, 'drop_near_dup' AS stage
+           FROM s3 SEMI JOIN nearids USING (doc_id)),
+    s4 AS (SELECT s3.doc_id FROM s3 ANTI JOIN nearids USING (doc_id)),
+    kept AS (
+      SELECT doc_id,
+             'kept_' || CASE {split_case} ELSE '{bounds[-1][0]}' END AS stage
+      FROM (SELECT doc_id, {bucket} AS b FROM s4)
+    )
+    SELECT doc_id, stage FROM d1
+    UNION ALL SELECT * FROM d2
+    UNION ALL SELECT * FROM d3
+    UNION ALL SELECT * FROM d4
+    UNION ALL SELECT * FROM kept
+    ORDER BY doc_id
+    """
+
+
+@_register("corpus_prep_funnel", _corpus_prep_sql())
+def q_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.corpus_prep import corpus_prep_funnel
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang") \
+        .where("doc_id < 200")
+    seeds = docs.where("doc_id < 30")
+    exact = seeds.select((F.col("doc_id") + 10000).alias("doc_id"),
+                         "text", "lang")
+    near = seeds.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat("text", F.lit(_NEAR_TAIL)).alias("text"),
+        "lang",
+    )
+    return corpus_prep_funnel(
+        docs.unionByName(exact).unionByName(near)
+    )
+
+
+# --------------------------------------------------------------------------
 # Corpus statistics: exact distributed percentiles + vocabulary top-k
 # --------------------------------------------------------------------------
 
