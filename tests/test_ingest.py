@@ -169,3 +169,37 @@ def test_html_main_text_stage(spark):
     assert got["a"].startswith("First real paragraph")
     assert got["b"] == "tiny"
     assert got["c"] == ""
+
+
+def test_pdf_two_column_reading_order():
+    # interleave left/right column lines in STREAM order; reading
+    # order must come out left column first, top to bottom
+    ops = []
+    rows = [
+        (72, 720, "left one"), (350, 720, "right one"),
+        (72, 706, "left two"), (350, 706, "right two"),
+        (72, 692, "left three"), (350, 692, "right three"),
+    ]
+    for x, y, text in rows:
+        ops.append(b"BT 1 0 0 1 %d %d Tm (%s) Tj ET"
+                   % (x, y, text.encode()))
+    raw = b" ".join(ops)
+    pdf = (b"<< /Length %d >>\nstream\n%s\nendstream" % (len(raw), raw))
+    assert extract_pdf_text(b"1 0 obj\n" + pdf) == (
+        "left one\nleft two\nleft three\n"
+        "right one\nright two\nright three"
+    )
+
+
+def test_pdf_same_line_segments_merge_in_x_order():
+    ops = [
+        b"BT 1 0 0 1 200 700 Tm (world) Tj ET",   # emitted first, right
+        b"BT 1 0 0 1 72 700 Tm (hello) Tj ET",
+        b"BT 1 0 0 1 72 686 Tm (a) Tj ET",
+        b"BT 1 0 0 1 72 672 Tm (b) Tj ET",
+        b"BT 1 0 0 1 72 658 Tm (c) Tj ET",
+        b"BT 1 0 0 1 72 644 Tm (d) Tj ET",
+    ]
+    raw = b" ".join(ops)
+    pdf = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(raw), raw)
+    assert extract_pdf_text(b"1 0 obj\n" + pdf) == "hello world\na\nb\nc\nd"

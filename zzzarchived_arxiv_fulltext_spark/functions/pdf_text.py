@@ -129,17 +129,36 @@ _OPERATOR_RE = re.compile(rb"[A-Za-z'\"*]+")
 
 
 def _stream_lines(data: bytes) -> List[str]:
-    """Run the text-op machine over one content stream → shown lines."""
-    lines: List[str] = []
+    """Run the text-op machine over one content stream → shown lines.
+
+    Layout-aware: text-line positions are tracked through Td/TD/Tm/T*
+    (the text-line matrix), and when every line is positioned the
+    lines are emitted in READING order — top-to-bottom, and if the
+    x-starts form two separated clusters (a two-column page), left
+    column before right column (pdfminer-style column detection).
+    Streams that never position their text (no Td/Tm) fall back to
+    show order.
+    """
+    # (x, y, seq, text) — x/y None when the stream never positioned it
+    records: List[tuple] = []
     cur: List[str] = []
     operands: List[object] = []
     in_array: Optional[List[object]] = None
+    pos: List[Optional[float]] = [None, None]  # current line x, y
+    leading = [0.0]
 
     def flush_line() -> None:
         text = "".join(cur).strip()
         if text:
-            lines.append(text)
+            records.append((pos[0], pos[1], len(records), text))
         cur.clear()
+
+    def move(tx: float, ty: float) -> None:
+        flush_line()
+        if pos[0] is None:
+            pos[0], pos[1] = tx, ty
+        else:
+            pos[0], pos[1] = pos[0] + tx, pos[1] + ty
 
     def show(parts) -> None:
         buf = []
@@ -203,23 +222,76 @@ def _stream_lines(data: bytes) -> List[str]:
                 arr = operands[-1] if operands else []
                 show(arr if isinstance(arr, list) else [arr])
             elif op == b"'":
-                flush_line()
+                move(0.0, -leading[0])
                 show(operands[-1:])
             elif op == b'"':
-                flush_line()
+                move(0.0, -leading[0])
                 show(operands[-1:])
             elif op in (b"Td", b"TD"):
-                if len(operands) >= 2 and isinstance(operands[-1], float) \
-                        and operands[-1] != 0.0:
-                    flush_line()
+                if len(operands) >= 2 and isinstance(operands[-2], float) \
+                        and isinstance(operands[-1], float):
+                    if op == b"TD":
+                        leading[0] = -operands[-1]
+                    move(operands[-2], operands[-1])
+            elif op == b"TL":
+                if operands and isinstance(operands[-1], float):
+                    leading[0] = operands[-1]
             elif op == b"T*":
-                flush_line()
+                move(0.0, -leading[0])
             elif op == b"Tm":
-                flush_line()
+                if len(operands) >= 6 and isinstance(operands[-2], float) \
+                        and isinstance(operands[-1], float):
+                    flush_line()
+                    pos[0], pos[1] = operands[-2], operands[-1]
             elif op in (b"BT", b"ET"):
                 flush_line()
             operands = []
     flush_line()
+    return _reading_order(records)
+
+
+# minimum x gap between line-start clusters to call them columns, and
+# the minimum positioned-line count to attempt layout at all
+_COLUMN_GAP = 100.0
+_MIN_LAYOUT_LINES = 6
+
+
+def _reading_order(records: List[tuple]) -> List[str]:
+    """Order (x, y, seq, text) line records for reading.
+
+    With full position info: group same-y records into visual lines
+    (x-ordered), sort top-to-bottom, and split two-column layouts at
+    the widest x-gap (left column first). Otherwise: show order.
+    """
+    if not records:
+        return []
+    if len(records) < _MIN_LAYOUT_LINES or \
+            any(r[0] is None for r in records):
+        return [r[3] for r in records]
+
+    xs = sorted({round(r[0]) for r in records})
+    split = None
+    if len(xs) > 1:
+        gaps = [(b - a, a, b) for a, b in zip(xs, xs[1:])]
+        widest = max(gaps)
+        left_n = sum(1 for r in records if round(r[0]) <= widest[1])
+        right_n = len(records) - left_n
+        if widest[0] > _COLUMN_GAP and left_n >= 3 and right_n >= 3:
+            split = (widest[1] + widest[2]) / 2.0
+
+    def column(r) -> int:
+        return 0 if split is None or r[0] < split else 1
+
+    ordered = sorted(records, key=lambda r: (column(r), -r[1], r[0], r[2]))
+    lines: List[str] = []
+    prev = None
+    for r in ordered:
+        key = (column(r), round(r[1], 1))
+        if prev == key:
+            lines[-1] = lines[-1] + " " + r[3]
+        else:
+            lines.append(r[3])
+        prev = key
     return lines
 
 
