@@ -64,6 +64,35 @@ def calibration_seconds() -> float:
     return time.perf_counter() - t0
 
 
+def _calibration_child(n: int) -> float:
+    import time as _t
+
+    from zzzarchived_arxiv_fulltext_spark.functions import extract_document
+
+    spans = [
+        {"kind": "text", "text": ("word " * 200 + "ﬁn- \nish. ") * 3,
+         "media_ref": None, "offset": i}
+        for i in range(4)
+    ]
+    t0 = _t.perf_counter()
+    for _ in range(n):
+        extract_document(spans)
+    return _t.perf_counter() - t0
+
+
+def calibration_parallel_seconds(workers: int = 8) -> float:
+    """The same workload on ``workers`` processes at once (max of the
+    per-worker times). Serial calibration misses multi-core host
+    contention — this one exposes it: on a quiet box it ≈ the serial
+    number; under co-tenant load it inflates.
+    """
+    from multiprocessing import Pool
+
+    with Pool(workers) as pool:
+        times = pool.map(_calibration_child, [200] * workers)
+    return max(times)
+
+
 def find_regressions(query_secs: dict, calibration: float) -> dict:
     """Diff per-query times against the latest BENCH_r{N}.json.
 
@@ -122,6 +151,7 @@ def main():
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
 
     calibration = calibration_seconds()
+    calibration_parallel = calibration_parallel_seconds()
 
     spark = build_spark(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
@@ -135,9 +165,21 @@ def main():
         spark.read.parquet(fixture).limit(2000)
     ).write.format("noop").mode("overwrite").save()
 
-    # -- per-query timings on the driver tables (before the big
-    # extraction job: its allocation aftermath distorts the first
-    # query that follows it)
+    # -- headline FIRST: full-pipeline extraction throughput. This is
+    # the BASELINE.json metric; measured on a warm but clean JVM. (The
+    # 44-query battery allocates enough that running it first costs
+    # the headline 2-3x in GC/fragmentation aftermath — measured.)
+    t0 = time.perf_counter()
+    extract_documents(spark.read.parquet(fixture)).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    docs_per_sec = n_docs / elapsed
+
+    # settle the JVM before the per-query section
+    spark.sparkContext._jvm.System.gc()
+
+    # -- per-query timings on the driver tables
     query_secs = {}
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
@@ -146,14 +188,6 @@ def main():
             query_secs[name] = round(time.perf_counter() - t0, 3)
         except Exception as ex:  # a broken query must not hide the rest
             query_secs[name] = f"error: {ex}"
-
-    # -- headline: full-pipeline extraction throughput
-    t0 = time.perf_counter()
-    extract_documents(spark.read.parquet(fixture)).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    elapsed = time.perf_counter() - t0
-    docs_per_sec = n_docs / elapsed
 
     print(json.dumps({
         "metric": "documents_per_sec_extraction",
@@ -165,6 +199,7 @@ def main():
         "extraction_elapsed_sec": round(elapsed, 3),
         "cpus": cpus,
         "calibration_sec": round(calibration, 3),
+        "calibration_parallel_sec": round(calibration_parallel, 3),
         "regressions_vs_prev_round": find_regressions(query_secs, calibration),
     }))
 

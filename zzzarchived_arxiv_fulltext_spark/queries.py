@@ -6,11 +6,13 @@ DataFrame program and as ANSI SQL the driver runs on DuckDB over the
 same parquet. Column names/values must match exactly (the driver
 sorts columns by name and value-hashes).
 
-Keep each Spark query Catalyst-friendly: JVM expressions only (the
-single exception is ``q_psv_udf``, which deliberately routes through
-the real pandas UDF and is oracle-checked against the equivalent
-native SQL chain — the strongest correctness evidence the harness can
-record for the UDF path).
+Keep each Spark query Catalyst-friendly: JVM expressions wherever the
+semantics allow. Queries that deliberately route through the REAL
+Arrow-batched UDF stages (``psv_normalize_udf``, the span-extraction
+pair, ``media_feature_extraction``, ``winnowing_fingerprint_overlap``,
+``pdf_text_extraction``, ``html_main_content``, ``corpus_prep_funnel``)
+are oracle-checked against closed-form SQL twins — the strongest
+correctness evidence the harness can record for the UDF path.
 """
 
 from typing import Callable, Dict
