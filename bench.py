@@ -166,14 +166,18 @@ def main():
     ).write.format("noop").mode("overwrite").save()
 
     # -- headline FIRST: full-pipeline extraction throughput. This is
-    # the BASELINE.json metric; measured on a warm but clean JVM. (The
-    # 44-query battery allocates enough that running it first costs
-    # the headline 2-3x in GC/fragmentation aftermath — measured.)
-    t0 = time.perf_counter()
-    extract_documents(spark.read.parquet(fixture)).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    elapsed = time.perf_counter() - t0
+    # the BASELINE.json metric; measured on a warm but clean JVM
+    # (running the query battery first inflates it with GC aftermath),
+    # best of two runs (first run still pays JIT/page-cache warmup) —
+    # same protocol as tools/scaling_bench.py.
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        extract_documents(spark.read.parquet(fixture)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    elapsed = min(runs)
     docs_per_sec = n_docs / elapsed
 
     # settle the JVM before the per-query section
@@ -197,6 +201,7 @@ def main():
         "sf": sf,
         "bench_docs": n_docs,
         "extraction_elapsed_sec": round(elapsed, 3),
+        "extraction_runs_sec": [round(r, 3) for r in runs],
         "cpus": cpus,
         "calibration_sec": round(calibration, 3),
         "calibration_parallel_sec": round(calibration_parallel, 3),
