@@ -6,12 +6,16 @@ Usage (local stand-in for a multi-executor cluster):
         --input /path/to/spans_parquet \
         --output /path/to/output_table \
         [--lineage /path/to/lineage_table] [--parallelism 128] [--force]
+        [--incremental]
 
 On a real cluster the same script ships with
 ``--py-files engine.zip`` — ``build_spark`` also registers the package
 via addPyFile so executors resolve the UDFs regardless of launch cwd.
 The job is resumable: rerunning after a kill completes exactly the
 documents missing from the committed output (anti-join vs snapshots).
+With ``--incremental`` the input is treated as a SnapshotTable and
+only snapshots newer than the last consumed position are read — the
+join-free steady state for standing pipelines.
 
 For smoke/demo runs, ``--generate N`` materializes the deterministic
 fixture table to --input first.
@@ -34,6 +38,9 @@ def main():
                          "input split sizing (preferred for parquet)")
     ap.add_argument("--force", action="store_true",
                     help="re-extract even if committed (controllers.py:140)")
+    ap.add_argument("--incremental", action="store_true",
+                    help="treat --input as a SnapshotTable and consume "
+                         "only new snapshots (join-free steady state)")
     ap.add_argument("--generate", type=int, default=0,
                     help="materialize N fixture docs to --input first")
     args = ap.parse_args()
@@ -41,6 +48,7 @@ def main():
     from zzzarchived_arxiv_fulltext_spark.config import build_spark
     from zzzarchived_arxiv_fulltext_spark.plans.extraction_job import (
         run_extraction,
+        run_extraction_incremental,
     )
     from zzzarchived_arxiv_fulltext_spark.schema import OUTPUT_SCHEMA
     from zzzarchived_arxiv_fulltext_spark.sources.fixtures import (
@@ -56,14 +64,23 @@ def main():
     out = SnapshotTable(args.output)
     lineage = SnapshotTable(args.lineage) if args.lineage else None
 
-    snap = run_extraction(
-        spark,
-        spark.read.parquet(args.input),
-        out,
-        lineage_table=lineage,
-        parallelism=args.parallelism,
-        force=args.force,
-    )
+    if args.incremental:
+        snap = run_extraction_incremental(
+            spark,
+            SnapshotTable(args.input),
+            out,
+            lineage_table=lineage,
+            parallelism=args.parallelism,
+        )
+    else:
+        snap = run_extraction(
+            spark,
+            spark.read.parquet(args.input),
+            out,
+            lineage_table=lineage,
+            parallelism=args.parallelism,
+            force=args.force,
+        )
     total = out.read(spark, OUTPUT_SCHEMA).count()
     if snap is None:
         print(f"nothing pending; committed total stays {total}")
