@@ -1,0 +1,53 @@
+"""As-of join: point-in-time semantics, tie-breaks, plan shape."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from zzzarchived_arxiv_fulltext_spark.operators.temporal import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, "p1"), ("u1", 20, "p2"), ("u1", 4, "p0"),
+         ("u2", 15, "p3")],
+        "user_id string, ts int, pid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 5, 50.0, "c1"), ("u1", 20, 99.0, "c2"),
+         ("u1", 20, 99.0, "c3"),          # (key, ts) tie → max event_id
+         ("u3", 1, 7.0, "cx")],           # key with no left rows
+        "user_id string, ts int, value double, event_id string",
+    )
+    return left, right
+
+
+def test_asof_semantics(spark):
+    left, right = _frames(spark)
+    got = {
+        r["pid"]: (r["asof_ts"], r["asof_value"], r["asof_event_id"])
+        for r in asof_join(left, right, key="user_id", ts="ts",
+                           right_cols=("value", "event_id")).collect()
+    }
+    assert len(got) == 4                      # every left row survives
+    assert got["p0"] == (None, None, None)    # nothing at or before ts=4
+    assert got["p1"] == (5, 50.0, "c1")       # latest at ts<=10
+    assert got["p2"] == (20, 99.0, "c3")      # inclusive + tie → max struct
+    assert got["p3"] == (None, None, None)    # key never clicked
+
+
+def test_asof_is_one_shuffle(spark):
+    left, right = _frames(spark)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof_join(left, right, key="user_id", ts="ts",
+                  right_cols=("value",)).explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    # dedup agg + window share the same key partitioning; no join node
+    assert "Join" not in plan
+    exchanges = {m for m in re.findall(r"Exchange hashpartitioning\([^)]*\)",
+                                       plan)}
+    assert len(exchanges) <= 2, plan  # (key,ts) agg + key window

@@ -1,0 +1,78 @@
+"""Temporal joins: as-of (point-in-time) join over event tables.
+
+``asof_join(left, right)`` attaches to every left row the LATEST right
+row with the same key and ``right.ts <= left.ts`` — the standard
+feature-engineering primitive ("state of X as of this event") that
+plain equi-joins cannot express and a range join makes quadratic.
+
+Spark-idiomatic single-pass implementation: union both sides tagged
+with a side bit, one window partitioned by key and ordered by
+(ts, side), and a running ``last(..., ignorenulls)`` carries the most
+recent right payload forward onto each left row. Cost = ONE shuffle on
+the key + a sort within partitions — no per-row range probe, no
+key×time explosion, skew handled by AQE exactly like any keyed window.
+
+Right rows that share (key, ts) are first reduced to the
+lexicographically greatest payload struct, so results are
+deterministic regardless of partitioning (and match DuckDB's
+``ASOF JOIN`` on the deduplicated right side).
+"""
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    right_cols: Sequence[str] = ("value",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left rows + the latest right payload at or before each left ts.
+
+    Output: all left columns, plus ``<prefix>ts`` and ``<prefix><col>``
+    for every name in ``right_cols`` (NULL when no right row precedes).
+    """
+    payload = F.struct(
+        F.col(ts).alias("ts"), *[F.col(c) for c in right_cols]
+    )
+    # deterministic dedup: greatest payload per (key, ts)
+    r = (
+        right.groupBy(key, ts)
+        .agg(F.max(payload).alias("_r"))
+        .select(key, ts, "_r")
+    )
+    left_struct = F.struct(*[F.col(c) for c in left.columns])
+    l_tagged = left.select(
+        F.col(key).alias("_k"), F.col(ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        left_struct.alias("_l"),
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+    )
+    r_tagged = r.select(
+        F.col(key).alias("_k"), F.col(ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
+        F.col("_r"),
+    )
+    # right (side 0) sorts before left (side 1) at equal ts → the
+    # match is inclusive (right.ts == left.ts counts), like ASOF JOIN
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col("_m.ts").alias(f"{prefix}ts"))
+    out_cols += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols]
+    return matched.select(*out_cols)

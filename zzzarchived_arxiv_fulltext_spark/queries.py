@@ -996,6 +996,56 @@ def q_media_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# As-of (point-in-time) join: each purchase annotated with the user's
+# latest click at or before it — oracled against DuckDB's native
+# ASOF JOIN on the identically-deduplicated right side.
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "purchases_with_last_click",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, value, event_id,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'click'
+    ),
+    c AS (SELECT user_id, ts, value, event_id FROM clicks WHERE rn = 1),
+    p AS (SELECT user_id, event_id, ts, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_ts_us,
+           p.value::DOUBLE AS purchase_value,
+           coalesce(epoch_us(c.ts), -1) AS asof_ts_us,
+           coalesce(c.value, -1)::DOUBLE AS asof_value,
+           coalesce(c.event_id, -1) AS asof_event_id
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.user_id, p.event_id
+    """,
+)
+def q_purchases_with_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where("event_type = 'purchase'").select(
+        "user_id", "event_id", "ts", "value")
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", "ts", "value", "event_id")
+    joined = asof_join(purchases, clicks, key="user_id", ts="ts",
+                       right_cols=("value", "event_id"))
+    return joined.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_ts_us"),
+        F.col("value").cast("double").alias("purchase_value"),
+        F.coalesce(F.unix_micros(F.col("asof_ts").cast("timestamp")),
+                   F.lit(-1)).alias("asof_ts_us"),
+        F.coalesce(F.col("asof_value").cast("double"), F.lit(-1.0))
+        .alias("asof_value"),
+        F.coalesce("asof_event_id", F.lit(-1)).alias("asof_event_id"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic sampling / dataset splits (content-stable md5 buckets;
 # RNG sampling is not reproducible across engines, hash buckets are)
 # --------------------------------------------------------------------------
