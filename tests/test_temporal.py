@@ -51,3 +51,30 @@ def test_asof_is_one_shuffle(spark):
     exchanges = {m for m in re.findall(r"Exchange hashpartitioning\([^)]*\)",
                                        plan)}
     assert len(exchanges) <= 2, plan  # (key,ts) agg + key window
+
+
+def test_range_join_pairs_and_bins(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [("u1", 1000, "p1"), ("u1", 2000, "p2"), ("u2", 1000, "p3")],
+        "user_id string, ts_s long, pid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 700, "c1"),    # exactly at the lower bound of p1
+         ("u1", 1000, "c2"),   # equal ts (upper bound, inclusive)
+         ("u1", 1001, "c3"),   # after p1 — excluded
+         ("u1", 699, "c4"),    # just outside — excluded
+         ("u2", 2000, "c5")],  # right key+ts that matches nothing
+        "user_id string, ts_s long, cid string",
+    )
+    pairs = range_join(left, right, key="user_id", ts="ts_s",
+                       lower=-300, upper=0)
+    got = sorted((r["pid"], r["r_cid"]) for r in pairs.collect())
+    assert got == [("p1", "c1"), ("p1", "c2")]
+    # each qualifying pair appears exactly once despite 2-bin probing
+    assert pairs.count() == pairs.distinct().count() == 2
+
+    import pytest
+    with pytest.raises(ValueError):
+        range_join(left, right, lower=0, upper=0)

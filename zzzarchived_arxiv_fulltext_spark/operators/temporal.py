@@ -76,3 +76,50 @@ def asof_join(
     out_cols.append(F.col("_m.ts").alias(f"{prefix}ts"))
     out_cols += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols]
     return matched.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts_s",
+    lower: int = -300,
+    upper: int = 0,
+    prefix: str = "r_",
+) -> DataFrame:
+    """All (left, right) pairs with the same key and
+    ``left.ts + lower <= right.ts <= left.ts + upper``.
+
+    A naive range join degenerates to a per-key cross product; this
+    one buckets time into bins of the window width and equi-joins on
+    (key, bin) — each left row probes at most
+    ``ceil(window/width)+1 = 2`` bins, so the join fan-in is bounded
+    by the per-bin row count, never the per-key count. The exact
+    range predicate filters the bin collisions. ``ts`` must be a
+    numeric (epoch) column; window bounds are inclusive.
+    """
+    if upper <= lower:
+        raise ValueError("upper must be > lower")
+    width = upper - lower
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.floor(F.col(ts) / width).alias("_bin"),
+        F.struct(*[F.col(c) for c in right.columns]).alias("_r"),
+    )
+    lo_bin = F.floor((F.col(ts) + lower) / width)
+    hi_bin = F.floor((F.col(ts) + upper) / width)
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.explode(F.sequence(lo_bin, hi_bin)).alias("_bin"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    in_range = (
+        (F.col(f"_r.{ts}") >= F.col(f"_l.{ts}") + lower)
+        & (F.col(f"_r.{ts}") <= F.col(f"_l.{ts}") + upper)
+    )
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"_r.{c}").alias(f"{prefix}{c}")
+                 for c in right.columns]
+    return (
+        l.join(r, on=["_k", "_bin"]).where(in_range).select(*out_cols)
+    )

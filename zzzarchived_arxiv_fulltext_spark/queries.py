@@ -1045,6 +1045,44 @@ def q_purchases_with_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "clicks_near_purchases",
+    """
+    WITH p AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s, value
+          FROM events WHERE event_type = 'click')
+    SELECT p.user_id, p.event_id, p.ts_s AS purchase_ts_s,
+           c.event_id AS click_event_id, c.ts_s AS click_ts_s,
+           c.value::DOUBLE AS click_value
+    FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.ts_s BETWEEN p.ts_s - 300 AND p.ts_s
+    ORDER BY p.user_id, p.event_id, click_event_id
+    """,
+)
+def q_clicks_near_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: every click in the 5 minutes before each purchase,
+    via time-bin bucketing (bounded fan-in, never a per-key cross
+    product)."""
+    from .operators.temporal import range_join
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts_s", F.unix_timestamp(F.col("ts").cast("timestamp")))
+    purchases = ev.where("event_type = 'purchase'").select(
+        "user_id", "event_id", "ts_s")
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", "event_id", "ts_s", "value")
+    pairs = range_join(purchases, clicks, key="user_id", ts="ts_s",
+                       lower=-300, upper=0)
+    return pairs.select(
+        "user_id", "event_id",
+        F.col("ts_s").alias("purchase_ts_s"),
+        F.col("r_event_id").alias("click_event_id"),
+        F.col("r_ts_s").alias("click_ts_s"),
+        F.col("r_value").cast("double").alias("click_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Deterministic sampling / dataset splits (content-stable md5 buckets;
 # RNG sampling is not reproducible across engines, hash buckets are)
