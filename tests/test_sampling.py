@@ -67,3 +67,56 @@ def test_split_is_a_pure_projection(spark, docs):
         hash_split(docs, {"train": 0.9, "val": 0.1}).explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_stratified_sample_rates_and_stability(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de").otherwise("fr").alias("lang"),
+    )
+    out = stratified_sample(docs, {"en": 0.5, "de": 0.1},
+                            default_rate=0.0)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 0.4 < counts["en"] / 1000 < 0.6
+    assert 0.05 < counts["de"] / 1000 < 0.16
+    assert "fr" not in counts  # default rate 0 drops the stratum
+    # per-stratum membership is the global sample restricted to it
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        deterministic_sample,
+    )
+    en_ids = {r["doc_id"] for r in out.where("lang = 'en'").collect()}
+    global_half = {r["doc_id"] for r in
+                   deterministic_sample(docs, 0.5).collect()}
+    assert en_ids == {i for i in global_half if i % 3 == 0}
+
+    import pytest
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {"en": 2.0})
+
+
+def test_token_budget_shards_are_contiguous_and_sized(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        shard_by_token_budget,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 99 + "w") for i in range(40)],  # 100 tokens each
+        "doc_id int, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["shard"], r["n_tokens"])
+        for r in shard_by_token_budget(docs, budget_tokens=1000).collect()
+    )
+    assert all(n == 100 for _, _, n in rows)
+    # 10 docs of 100 tokens per 1000-token shard, in id order
+    assert [s for _, s, _ in rows] == [i // 10 for i in range(40)]
+
+    import pytest
+    with pytest.raises(ValueError):
+        shard_by_token_budget(docs, budget_tokens=0)

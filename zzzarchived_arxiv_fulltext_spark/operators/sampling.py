@@ -18,6 +18,7 @@ from typing import Dict, List, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 HASH_BUCKETS = 1 << 20
 
@@ -54,6 +55,57 @@ def split_boundaries(weights: Dict[str, float],
         bounds.append((name, int(acc * buckets)))
     bounds.append((names[-1], buckets))  # last split absorbs rounding
     return bounds
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Per-stratum content-stable sampling (training-mix construction).
+
+    ``rates`` maps stratum value → keep fraction; strata not listed
+    use ``default_rate``. Same stability guarantees as
+    :func:`deterministic_sample`, per stratum.
+    """
+    cut = F.lit(int(default_rate * buckets))
+    for value, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {value!r} must be in [0, 1]")
+        cut = F.when(F.col(strata_col) == value,
+                     F.lit(int(rate * buckets))).otherwise(cut)
+    return df.where(hash_bucket(F.col(key_col), buckets) < cut)
+
+
+def shard_by_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign documents to ~``budget_tokens``-sized output shards.
+
+    The pretraining-shard writer's primitive: documents in id order
+    accumulate whitespace-token counts, and a document's shard is its
+    exclusive prefix sum divided by the budget — deterministic under
+    any partitioning, so re-running materializes identical shards.
+    (The id-ordered running sum is one global sort — at 10^12 rows,
+    run it per hash-bucketed partition group instead; the assignment
+    stays deterministic because bucket membership is content-stable.)
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    w = Window.orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    running = F.sum(n_tokens).over(w) - n_tokens  # exclusive prefix sum
+    return df.withColumn(
+        shard_col, F.floor(running / budget_tokens).cast("int")
+    ).withColumn("n_tokens", n_tokens)
 
 
 def hash_split(

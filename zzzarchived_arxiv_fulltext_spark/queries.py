@@ -1133,6 +1133,51 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def _stratified_sql() -> str:
+    from .operators.sampling import HASH_BUCKETS
+
+    bucket = _SAMPLING_BUCKET_SQL.format(b=HASH_BUCKETS)
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {bucket} < CASE lang
+      WHEN 'en' THEN {int(0.5 * HASH_BUCKETS)}
+      WHEN 'de' THEN {int(0.25 * HASH_BUCKETS)}
+      ELSE {int(0.05 * HASH_BUCKETS)} END
+    ORDER BY doc_id
+    """
+
+
+@_register("stratified_language_sample", _stratified_sql())
+def q_stratified_language_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), {"en": 0.5, "de": 0.25},
+        strata_col="lang", default_rate=0.05,
+    ).select("doc_id", "lang")
+
+
+@_register(
+    "token_budget_shards",
+    """
+    SELECT doc_id,
+           CAST(floor((sum(n) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n)
+                      / 5000.0) AS INT) AS shard,
+           n AS n_tokens
+    FROM (SELECT doc_id, len(string_split(text, ' ')) AS n
+          FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def q_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import shard_by_token_budget
+
+    return shard_by_token_budget(
+        _docs(spark, sf_dir), budget_tokens=5000
+    ).select("doc_id", "shard", "n_tokens")
+
+
 # --------------------------------------------------------------------------
 # End-to-end corpus-prep funnel: quality gate → language filter →
 # exact dedup → MinHash near-dup removal → split assignment, one
