@@ -6,8 +6,9 @@ scrambled order), run the Arrow-batched extraction UDF, return the
 per-document span sequences + metrics.
 
 ``queries()`` / ``oracle_sql()`` expose the operator battery in
-``zzzarchived_arxiv_fulltext_spark.queries`` (native-expressible ops get DuckDB
-oracles; UDF-only ops get rows-only checks).
+``zzzarchived_arxiv_fulltext_spark.queries`` — every registered query
+carries a DuckDB oracle (UDF-backed pipelines included, via planted
+deterministic inputs and closed-form SQL twins).
 """
 
 from __future__ import annotations
