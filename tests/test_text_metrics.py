@@ -64,3 +64,27 @@ def test_fingerprints_detect_shared_passages(spark):
     keys = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (1, 2) in keys
     assert (1, 3) not in keys and (2, 3) not in keys
+
+
+def test_cross_fingerprint_overlap_flags_planted_leaks(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.text_metrics import (
+        cross_fingerprint_overlap,
+    )
+
+    base = ("the training corpus contains this very specific passage "
+            "about winnowing fingerprints and benchmark leakage that "
+            "is long enough to fingerprint reliably end to end")
+    corpus = spark.createDataFrame(
+        [("c1", base),
+         ("c2", "a completely unrelated document about query engines "
+                "and shuffle partitioning strategies at large scale")],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [("b1", base[20:150]),    # substring of c1 → leak
+         ("b2", "novel benchmark prompt that appears nowhere above")],
+        "doc_id string, text string",
+    )
+    got = cross_fingerprint_overlap(corpus, bench, min_shared=3).collect()
+    assert {(r["doc_id"], r["benchmark_id"]) for r in got} == {("c1", "b1")}
+    assert all(r["shared_fingerprints"] >= 3 for r in got)

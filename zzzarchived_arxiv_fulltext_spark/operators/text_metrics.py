@@ -169,6 +169,39 @@ def document_fingerprints(df: DataFrame, text_col: str = "text",
     )
 
 
+def cross_fingerprint_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    min_shared: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decontamination: corpus docs sharing fingerprints with a
+    benchmark/eval set.
+
+    (doc_id, benchmark_id, shared_fingerprints) for every corpus
+    document that shares >= ``min_shared`` winnowing fingerprints with
+    a benchmark document — the standard pre-training leak check. The
+    benchmark side is small by nature, so its fingerprint set is
+    broadcast: the corpus-side scan stays a single map pass.
+    """
+    def fps(df: DataFrame) -> DataFrame:
+        return document_fingerprints(df, text_col, id_col).select(
+            F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp")
+        ).distinct()
+
+    return (
+        fps(corpus).alias("c")
+        .join(F.broadcast(fps(benchmark).alias("b")), on="fp")
+        .groupBy(
+            F.col("c.id").alias("doc_id"),
+            F.col("b.id").alias("benchmark_id"),
+        )
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
 def fingerprint_overlap_pairs(df: DataFrame, min_shared: int = 3,
                               text_col: str = "text",
                               id_col: str = "doc_id") -> DataFrame:

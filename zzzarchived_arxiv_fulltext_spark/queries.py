@@ -904,6 +904,67 @@ _WINNOW_ORACLE = """
     """
 
 
+# decontamination: benchmark docs are planted substrings of corpus
+# docs (ids +700000), so every benchmark doc must flag its source
+_DECON_ORACLE = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+    ),
+    bench AS (
+      SELECT doc_id + 700000 AS doc_id, substr(text, 50, 200) AS text
+      FROM documents WHERE doc_id < 5
+    ),
+    pos_c AS (
+      SELECT doc_id, i, length(text) - 7 AS n,
+             ('0x' || substr(md5(substr(text, i::INT, 8)), 1, 15))::BIGINT
+               AS h
+      FROM corpus, UNNEST(range(1, length(text) - 7 + 1)) AS t(i)
+      WHERE length(text) >= 8
+    ),
+    fps_c AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, i, n,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+        FROM pos_c
+      ) WHERE i <= greatest(n - 15, 1)
+    ),
+    pos_b AS (
+      SELECT doc_id, i, length(text) - 7 AS n,
+             ('0x' || substr(md5(substr(text, i::INT, 8)), 1, 15))::BIGINT
+               AS h
+      FROM bench, UNNEST(range(1, length(text) - 7 + 1)) AS t(i)
+      WHERE length(text) >= 8
+    ),
+    fps_b AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, i, n,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+        FROM pos_b
+      ) WHERE i <= greatest(n - 15, 1)
+    )
+    SELECT c.doc_id AS doc_id, b.doc_id AS benchmark_id,
+           count(*) AS shared_fingerprints
+    FROM fps_c c JOIN fps_b b ON c.fp = b.fp
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    ORDER BY 1, 2
+    """
+
+
+@_register("benchmark_contamination", _DECON_ORACLE)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_metrics import cross_fingerprint_overlap
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where("doc_id < 300").select("doc_id", "text")
+    bench = docs.where("doc_id < 5").select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.substring("text", 50, 200).alias("text"),
+    )
+    return cross_fingerprint_overlap(corpus, bench, min_shared=3)
+
+
 @_register("winnowing_fingerprint_overlap", _WINNOW_ORACLE)
 def q_winnowing_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_metrics import fingerprint_overlap_pairs
