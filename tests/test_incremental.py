@@ -118,3 +118,48 @@ def test_latest_version_is_numeric_not_lexicographic(
     # reference float-sorts versions (store.py:145-165): 10.0 > 9.0,
     # even though "10.0" < "9.0" lexicographically
     assert all(r["extractor_version"] == "spark-10.0" for r in rows)
+
+
+def test_dotted_versions_fall_back_to_string_order(
+    spark, tmp_path, monkeypatch
+):
+    import zzzarchived_arxiv_fulltext_spark.operators.span_extract as se
+
+    out = SnapshotTable(str(tmp_path / "out"))
+    docs = spans_table(spark, 4, seed=9)
+    # "2.1.0" is not a float: it must NOT tail-parse as 1.0 (which
+    # would rank it below "1.9.9" = 9.9); both fall to string order
+    monkeypatch.setattr(se, "EXTRACTOR_VERSION", "2.1.0")
+    run_extraction(spark, docs, out, force=True)
+    monkeypatch.setattr(se, "EXTRACTOR_VERSION", "1.9.9")
+    run_extraction(spark, docs, out, force=True)
+
+    rows = read_extracted(spark, out).collect()
+    assert len(rows) == 4
+    assert all(r["extractor_version"] == "2.1.0" for r in rows)
+
+
+def test_pre_bucket_snapshots_heal_on_read(spark, tmp_path):
+    """Output committed before the bucket column existed must not be
+    silently re-extracted (ADVICE r2): schema-on-read yields NULL
+    buckets, healed to the default namespace."""
+    out = SnapshotTable(str(tmp_path / "out"))
+    docs = spans_table(spark, 8, seed=12)
+    # simulate a pre-bucket-era commit: extract, then drop the column
+    legacy = extract_documents(docs).drop("bucket")
+    out.append(legacy)
+
+    # resume over the same input: nothing pending — the anti-join
+    # matches the healed default bucket
+    assert pending_documents(docs, out, spark).count() == 0
+    assert run_extraction(spark, docs, out) is None
+
+    # the latest-version view serves legacy rows under the default
+    latest = read_extracted(spark, out)
+    assert latest.count() == 8
+    assert latest.where("bucket = 'arxiv'").count() == 8
+
+    # mixed old/new snapshots coexist
+    sub = docs.withColumn("bucket", F.lit("submission"))
+    run_extraction(spark, sub, out)
+    assert read_extracted(spark, out).count() == 16

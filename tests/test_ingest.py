@@ -78,6 +78,150 @@ def test_pdf_declared_length_wins_over_lexical_strip():
     assert extract_pdf_text(pdf) == "tail%d" % i
 
 
+def _one_obj_pdf(enc: bytes, filters: bytes) -> bytes:
+    return (b"1 0 obj\n<< /Length %d /Filter %s >>\nstream\n%s\nendstream"
+            % (len(enc), filters, enc))
+
+
+def _compress_no_eol_tail(tag: bytes) -> bytes:
+    """Deflate of a content stream whose last byte is not \\r/\\n, so
+    the lexical endstream slice is byte-exact."""
+    for i in range(50000):
+        c = zlib.compress(b"BT (%s%d) Tj ET" % (tag, i))
+        if not c.endswith((b"\r", b"\n")):
+            return i, c
+    raise AssertionError("no clean-tailed deflate found")
+
+
+def test_pdf_indirect_length_falls_back_to_lexical():
+    # `/Length 5 0 R` is an indirect reference, NOT a length of 5.
+    i, c = _compress_no_eol_tail(b"ind")
+    pdf = (b"1 0 obj\n<< /Length 5 0 R /Filter /FlateDecode >>\nstream\n"
+           + c + b"\nendstream")
+    assert extract_pdf_text(pdf) == "ind%d" % i
+
+
+def test_pdf_wrong_declared_length_retries_lexical():
+    i, c = _compress_no_eol_tail(b"salv")
+    pdf = (b"1 0 obj\n<< /Length 5 /Filter /FlateDecode >>\nstream\n"
+           + c + b"\nendstream")
+    assert extract_pdf_text(pdf) == "salv%d" % i
+
+
+def test_pdf_bt_resets_text_position():
+    # One BT/ET per paragraph, each with an ABSOLUTE first Td — the
+    # common real-PDF shape. BT resets the text matrix, so positions
+    # must not accumulate across text objects.
+    ops = [b"BT 72 %d Td (para %d) Tj ET" % (700 - 50 * k, k + 1)
+           for k in range(6)]
+    raw = b" ".join(ops)
+    pdf = b"1 0 obj\n<< /Length %d >>\nstream\n%s\nendstream" % (len(raw), raw)
+    assert extract_pdf_text(pdf) == "\n".join(
+        "para %d" % (k + 1) for k in range(6))
+
+
+def test_pdf_filter_ascii85():
+    import base64
+    raw = b"BT (eightyfive) Tj ET"
+    enc = base64.a85encode(raw) + b"~>"
+    assert extract_pdf_text(
+        _one_obj_pdf(enc, b"/ASCII85Decode")) == "eightyfive"
+
+
+def test_pdf_filter_asciihex():
+    raw = b"BT (hexed) Tj ET"
+    enc = raw.hex().encode() + b">"
+    assert extract_pdf_text(_one_obj_pdf(enc, b"/ASCIIHexDecode")) == "hexed"
+
+
+def test_pdf_filter_runlength():
+    from zzzarchived_arxiv_fulltext_spark.functions.pdf_text import (
+        _rle_decode,
+    )
+    # repeat run: 0xFE = 254 → 257-254 = 3 copies; 128 = EOD
+    assert _rle_decode(b"\xfeA\x80") == b"AAA"
+    raw = b"BT (runlength) Tj ET"
+    enc = bytes([len(raw) - 1]) + raw + b"\x80"  # one literal run
+    assert extract_pdf_text(
+        _one_obj_pdf(enc, b"/RunLengthDecode")) == "runlength"
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """PDF-flavour LZW encoder (EarlyChange=1) for round-trip tests."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    out = bytearray()
+    bitbuf, bits = 0, 0
+
+    def emit(code):
+        nonlocal bitbuf, bits
+        bitbuf = (bitbuf << width) | code
+        bits += width
+        while bits >= 8:
+            out.append((bitbuf >> (bits - 8)) & 0xFF)
+            bits -= 8
+
+    emit(256)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        # the decoder's table lags the encoder's by one entry, so its
+        # early-change threshold (2^w - 1) corresponds to 2^w here
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)
+    if bits:
+        out.append((bitbuf << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def test_pdf_filter_lzw_spec_golden():
+    from zzzarchived_arxiv_fulltext_spark.functions.pdf_text import (
+        _lzw_decode,
+    )
+    # the PDF 1.7 spec's own LZWDecode example (§7.4.4.2):
+    # input 45 45 45 45 45 65 45 45 45 66 (decimal byte values)
+    assert _lzw_decode(bytes.fromhex("800B6050220C0C8501")) == \
+        bytes([45] * 5 + [65] + [45] * 3 + [66])
+
+
+def test_pdf_filter_lzw_round_trip():
+    from zzzarchived_arxiv_fulltext_spark.functions.pdf_text import (
+        _lzw_decode,
+    )
+    for payload in (b"", b"A", b"aaaaaaaaaaaaaaaa",
+                    bytes(range(256)) * 5,
+                    b"the quick brown fox " * 200):
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+    raw = b"BT (lzw works) Tj ET"
+    assert extract_pdf_text(
+        _one_obj_pdf(_lzw_encode(raw), b"/LZWDecode")) == "lzw works"
+
+
+def test_pdf_filter_chain_a85_then_flate():
+    import base64
+    raw = b"BT (chained) Tj ET"
+    enc = base64.a85encode(zlib.compress(raw)) + b"~>"
+    # decode order: first ASCII85, then Flate
+    assert extract_pdf_text(
+        _one_obj_pdf(enc, b"[/ASCII85Decode /FlateDecode]")) == "chained"
+
+
+def test_pdf_opaque_and_unknown_filters_skipped():
+    jpeg = b"\xff\xd8\xff\xe0BT (not text) Tj ET\xff\xd9"
+    assert extract_pdf_text(_one_obj_pdf(jpeg, b"/DCTDecode")) == ""
+    assert extract_pdf_text(_one_obj_pdf(b"??", b"/MadeUpDecode")) == ""
+
+
 def test_pdf_image_xobjects_counted():
     img = (b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
            b"/Length 3 >>\nstream\nabc\nendstream")

@@ -6,7 +6,9 @@ image. The Spark-first restatement keeps extraction inside the
 executor's Python worker: this module parses the structure that
 born-digital PDFs actually use for their text layer —
 
-- object streams with ``/FlateDecode`` (zlib) or no filter,
+- object streams with ``/FlateDecode``, ``/ASCII85Decode``,
+  ``/ASCIIHexDecode``, ``/RunLengthDecode``, ``/LZWDecode`` (and
+  chains of these), or no filter; direct or indirect ``/Length``,
 - ``BT``/``ET`` text objects,
 - show operators ``Tj``, ``'``, ``"`` and ``TJ`` (with kerning-aware
   space insertion),
@@ -20,6 +22,7 @@ layout analysis of adversarial PDFs, ``sources/pdf_ingest.py`` can
 switch to pdfminer.six when it is installed.
 """
 
+import base64
 import re
 import zlib
 from typing import Iterator, List, Optional
@@ -56,23 +59,146 @@ def iter_streams(pdf: bytes) -> Iterator[bytes]:
             return
         # Prefer the declared /Length: binary stream data may itself
         # end in 0x0a/0x0d, which a lexical EOL-strip would corrupt.
-        lm = re.search(rb"/Length\s+(\d+)\b", m.group(1))
+        # `/Length 5 0 R` is an INDIRECT reference (very common in
+        # born-digital PDFs) — the lookahead rejects it so we fall to
+        # the lexical endstream slice instead of truncating to 5 bytes.
+        lm = re.search(rb"/Length\s+(\d+)(?!\s*\d+\s*R)", m.group(1))
+        declared: Optional[bytes] = None
         if lm and start + int(lm.group(1)) <= end:
-            data = pdf[start:start + int(lm.group(1))]
-        else:
-            data = pdf[start:end]
-            if data.endswith(b"\r\n"):
-                data = data[:-2]
-            elif data.endswith(b"\n") or data.endswith(b"\r"):
-                data = data[:-1]
-        if b"/FlateDecode" in m.group(1):
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                data = b""
+            declared = pdf[start:start + int(lm.group(1))]
+        lexical = pdf[start:end]
+        if lexical.endswith(b"\r\n"):
+            lexical = lexical[:-2]
+        elif lexical.endswith(b"\n") or lexical.endswith(b"\r"):
+            lexical = lexical[:-1]
+        data = declared if declared is not None else lexical
+        data = _apply_filters(data, m.group(1))
+        if not data and declared is not None and declared != lexical:
+            # Declared length was wrong (corrupt or mis-parsed):
+            # retry with the lexical slice before giving up.
+            data = _apply_filters(lexical, m.group(1))
         if data:
             yield data
         pos = end + len(b"endstream")
+
+
+# /Filter value: a single name or an array of names (a chain)
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_NAME_TOKEN_RE = re.compile(rb"/([A-Za-z0-9]+)")
+# image/opaque codecs: no text layer to extract
+_OPAQUE_FILTERS = {b"DCTDecode", b"DCT", b"JPXDecode", b"CCITTFaxDecode",
+                   b"CCF", b"JBIG2Decode"}
+
+
+def _a85_decode(data: bytes) -> bytes:
+    s = re.sub(rb"\s", b"", data)
+    if s.endswith(b"~>"):
+        s = s[:-2]
+    return base64.a85decode(s)
+
+
+def _ahx_decode(data: bytes) -> bytes:
+    s = re.sub(rb"\s", b"", data)
+    if s.endswith(b">"):
+        s = s[:-1]
+    if len(s) % 2:
+        s += b"0"
+    return bytes.fromhex(s.decode("ascii"))
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """PDF RunLengthDecode: <=127 → copy n+1 literal bytes; >=129 →
+    repeat next byte 257-n times; 128 → EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i:i + length + 1]
+            i += length + 1
+        else:
+            out += data[i:i + 1] * (257 - length)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode: 9→12-bit codes, clear=256, EOD=257, EarlyChange=1
+    (the spec default: code width grows one code early)."""
+    out = bytearray()
+    table = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    prev: Optional[bytes] = None
+    bitbuf = bits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (bitbuf >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError("corrupt LZW stream")
+            out += entry
+            prev = entry
+            if next_code >= (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _apply_filters(data: bytes, obj_dict: bytes) -> bytes:
+    """Run the stream's declared /Filter chain; b'' = undecodable.
+
+    Covers the text-bearing filters web-crawl PDFs actually use
+    (reference capability analogue: its poppler/pdfminer subprocesses,
+    ``extractor/fulltext/fulltext.py:50-109``, handled all of these).
+    Opaque image codecs and unknown filters yield b'' so the stream is
+    skipped rather than parsed as garbage.
+    """
+    fm = _FILTER_RE.search(obj_dict)
+    if not fm:
+        return data
+    for name in _NAME_TOKEN_RE.findall(fm.group(1)):
+        if not data:
+            return b""
+        try:
+            if name in (b"FlateDecode", b"Fl"):
+                data = zlib.decompress(data)
+            elif name in (b"ASCII85Decode", b"A85"):
+                data = _a85_decode(data)
+            elif name in (b"ASCIIHexDecode", b"AHx"):
+                data = _ahx_decode(data)
+            elif name in (b"RunLengthDecode", b"RL"):
+                data = _rle_decode(data)
+            elif name in (b"LZWDecode", b"LZW"):
+                data = _lzw_decode(data)
+            elif name in _OPAQUE_FILTERS:
+                return b""
+            elif name == b"Crypt":
+                return b""
+            else:  # DecodeParms names etc. are not filter names; any
+                return b""  # genuinely unknown filter → skip stream
+        except Exception:
+            return b""
+    return data
 
 
 def _parse_literal_string(data: bytes, i: int) -> tuple:
@@ -243,7 +369,14 @@ def _stream_lines(data: bytes) -> List[str]:
                         and isinstance(operands[-1], float):
                     flush_line()
                     pos[0], pos[1] = operands[-2], operands[-1]
-            elif op in (b"BT", b"ET"):
+            elif op == b"BT":
+                # BT resets the text matrix to identity: the first
+                # Td of each text object is ABSOLUTE. Without this,
+                # one-BT-per-paragraph PDFs (the common case) drift
+                # and _reading_order scrambles paragraphs.
+                flush_line()
+                pos[0] = pos[1] = None
+            elif op == b"ET":
                 flush_line()
             operands = []
     flush_line()

@@ -43,9 +43,10 @@ def redact_pii(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """(id, redacted, n_url, n_email, n_phone, n_ipv4).
 
-    Counts are measured BEFORE replacement on the original text;
-    because URL redaction runs first, emails inside URLs count as
-    URLs, matching what the replacement actually did.
+    Counts are measured sequentially on the progressively redacted
+    text, so e.g. emails inside already-redacted URLs are not
+    double-counted — each count reflects what that pattern's
+    replacement pass actually did.
     """
     text = F.col(text_col)
     counts = []

@@ -50,6 +50,20 @@ def _with_bucket(df: DataFrame) -> DataFrame:
     return df.withColumn("bucket", F.lit(DEFAULT_BUCKET))
 
 
+def _read_output(spark: SparkSession, output_table: SnapshotTable) -> DataFrame:
+    """Committed output with pre-bucket snapshots healed on read.
+
+    Snapshots written before the ``bucket`` column existed read back
+    as NULL under schema-on-read; every such row was implicitly in the
+    default namespace, so coalesce — without this, the resume
+    anti-join never matches old rows and silently re-extracts them.
+    """
+    out = output_table.read(spark, OUTPUT_SCHEMA)
+    return out.withColumn(
+        "bucket", F.coalesce(F.col("bucket"), F.lit(DEFAULT_BUCKET))
+    )
+
+
 def pending_documents(
     input_df: DataFrame,
     output_table: SnapshotTable,
@@ -65,7 +79,7 @@ def pending_documents(
     if force or not output_table.snapshots():
         return input_df
     done = (
-        output_table.read(spark, OUTPUT_SCHEMA)
+        _read_output(spark, output_table)
         .where(F.col("extractor_version") == EXTRACTOR_VERSION)
         .select("bucket", "doc_id")
     )
@@ -184,13 +198,17 @@ def read_extracted(spark: SparkSession, output_table: SnapshotTable) -> DataFram
     greatest extractor version — the reference float-sorts versions
     (``fulltext/services/store/store.py:145-165``,
     ``sorted(map(float, ...))``), so "10.0" must beat "9.0" despite
-    sorting lexicographically smaller. Non-numeric versions fall back
-    to string order, after any numeric one.
+    sorting lexicographically smaller. The numeric tail must be a
+    whole float token — preceded by start-of-string or a non-[0-9.]
+    char — so dotted "2.1.0" parses as NULL and falls back to string
+    order (an unanchored tail match would misparse it as 1.0 and rank
+    it below "1.9.9"), while "spark-10.0" still parses as 10.0.
+    Non-numeric versions sort after any numeric one.
     """
-    out = output_table.read(spark, OUTPUT_SCHEMA)
+    out = _read_output(spark, output_table)
     version_num = F.regexp_extract(
-        "extractor_version", r"(\d+(\.\d+)?)$", 1
-    ).cast("double")
+        "extractor_version", r"(?:^|[^0-9.])(\d+(\.\d+)?)$", 1
+    ).try_cast("double")  # no-match "" → NULL, not an ANSI cast error
     latest = Window.partitionBy("bucket", "doc_id").orderBy(
         F.desc_nulls_last(version_num),
         F.desc("extractor_version"),

@@ -100,7 +100,14 @@ class SnapshotTable:
 
     def read(self, spark: SparkSession,
              schema: Optional[T.StructType] = None) -> DataFrame:
-        """All committed rows (empty-but-typed DF when no snapshots)."""
+        """All committed rows (empty-but-typed DF when no snapshots).
+
+        When ``schema`` is given it is imposed on the scan
+        (schema-on-read): snapshots written before a column existed
+        return NULL for it instead of failing or silently dropping it,
+        without the footer-merging cost of ``mergeSchema`` — the
+        schema-evolution contract Iceberg tables give for free.
+        """
         dirs = [os.path.join(self.path, s["dir"]) for s in self.snapshots()]
         if not dirs:
             if schema is None:
@@ -108,7 +115,8 @@ class SnapshotTable:
                     f"empty table {self.path} needs an explicit schema"
                 )
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*dirs)
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        return reader.parquet(*dirs)
 
     def read_snapshot(self, spark: SparkSession, snap_id: int) -> DataFrame:
         return spark.read.parquet(self.snapshot_dir(snap_id))
@@ -138,7 +146,8 @@ class SnapshotTable:
                     "need an explicit schema for the empty result"
                 )
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*dirs)
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        return reader.parquet(*dirs)
 
     # -- maintenance ----------------------------------------------------------
 
