@@ -68,3 +68,42 @@ def test_run_corpus_prep_commits_redacted_splits(spark, tmp_path):
     assert "<EMAIL>" in doc6["text"] and "a@b.co" not in doc6["text"]
     # the committed funnel covers every input doc
     assert funnel_t.read(spark).count() == 6
+
+
+def test_funnel_dag_materializes_exactly_once(spark, tmp_path, monkeypatch):
+    """The kept-join, funnel commit, and counts must NOT each re-run
+    the funnel DAG (VERDICT r2 #2): a row-counting pandas UDF spliced
+    onto the funnel output fires exactly once per document."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    import zzzarchived_arxiv_fulltext_spark.plans.corpus_prep as cp
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @pandas_udf("string")
+    def tag(s: pd.Series) -> pd.Series:
+        acc.add(len(s))
+        return s
+
+    real = cp.corpus_prep_funnel
+
+    def counting_funnel(docs, **kw):
+        return real(docs, **kw).withColumn("stage", tag("stage"))
+
+    monkeypatch.setattr(cp, "corpus_prep_funnel", counting_funnel)
+    for with_funnel_table in (True, False):
+        acc.value = 0
+        corpus = SnapshotTable(
+            str(tmp_path / f"corpus-{with_funnel_table}"))
+        funnel_t = SnapshotTable(
+            str(tmp_path / f"funnel-{with_funnel_table}")) \
+            if with_funnel_table else None
+        counts = run_corpus_prep(
+            spark, _corpus(spark), corpus, funnel_t,
+            min_tokens=10, max_avg_token_len=8.0, near_threshold=0.5,
+        )
+        assert sum(counts.values()) == 6
+        assert acc.value == 6, (
+            f"funnel DAG ran {acc.value / 6:.0f}x "
+            f"(funnel_table={with_funnel_table})")

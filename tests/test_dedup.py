@@ -82,3 +82,22 @@ def test_simhash_clusters(corpus):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in simhash_near_duplicates(corpus, max_hamming=3).collect()}
     assert pairs.get((1, 2)) == 0
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """A planted degenerate bucket (many identical docs) must not
+    produce |bucket|² candidates when the cap is on (VERDICT r2 #4),
+    while distinct near-dup pairs in small buckets survive."""
+    boiler = [(i, "boilerplate " * 20) for i in range(100)]  # 1 bucket
+    real = [(1000, BASE), (1001, NEAR)]
+    docs = spark.createDataFrame(boiler + real, ["doc_id", "text"])
+    sigs = minhash_signatures(word_shingles(docs), num_hashes=16)
+
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=50).collect()
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1000, 1001) in capped_pairs       # real pair survives
+    assert all(a >= 1000 for a, _ in capped_pairs)  # hot bucket dropped
+    assert len(capped_pairs) < 100
+
+    uncapped = lsh_candidate_pairs(sigs, max_bucket_size=None)
+    assert uncapped.count() == 100 * 99 // 2 + 1  # quadratic w/o cap

@@ -120,3 +120,54 @@ def test_token_budget_shards_are_contiguous_and_sized(spark):
     import pytest
     with pytest.raises(ValueError):
         shard_by_token_budget(docs, budget_tokens=0)
+
+
+def test_token_budget_shards_string_ids_match_global_order(spark):
+    """String-id path (prefix buckets): result == a global id-ordered
+    prefix sum, stable under repartitioning."""
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        shard_by_token_budget,
+    )
+
+    rows = [(f"doc-{i:04d}" if i % 3 else f"d{i}", "tok " * (i % 17 + 1))
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {(r["doc_id"], r["shard"], r["n_tokens"])
+           for r in shard_by_token_budget(docs, 200).collect()}
+    # closed-form expectation: exclusive prefix sum in id order
+    expected = set()
+    acc = 0
+    for doc_id, text in sorted(rows, key=lambda r: r[0]):
+        n = len(text.split(" "))
+        expected.add((doc_id, acc // 200, n))
+        acc += n
+    assert got == expected
+    again = {(r["doc_id"], r["shard"], r["n_tokens"])
+             for r in shard_by_token_budget(docs.repartition(7), 200)
+             .collect()}
+    assert again == expected
+
+
+def test_token_budget_shards_plan_has_no_global_sort(spark):
+    """The 10^12-row guard: no single-partition exchange anywhere in
+    the sharding plan — the prefix sum is partitioned by the
+    order-preserving bucket (VERDICT r2 #1)."""
+    import contextlib
+    import io
+
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        shard_by_token_budget,
+    )
+
+    for schema, rows in (
+        ("doc_id string, text string", [("a1", "x y z")] * 8),
+        ("doc_id int, text string", [(1, "x y z")] * 8),
+    ):
+        df = spark.createDataFrame(rows, schema)
+        out = shard_by_token_budget(df, 100)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "SinglePartition" not in plan, plan

@@ -88,3 +88,45 @@ def test_cross_fingerprint_overlap_flags_planted_leaks(spark):
     got = cross_fingerprint_overlap(corpus, bench, min_shared=3).collect()
     assert {(r["doc_id"], r["benchmark_id"]) for r in got} == {("c1", "b1")}
     assert all(r["shared_fingerprints"] >= 3 for r in got)
+
+
+def test_rolling_fingerprint_family_matches_md5_semantics(spark):
+    """The vectorized rolling-hash family must produce the SAME
+    overlap structure as the oracle-reproducible md5 family (values
+    differ; winnowing semantics don't)."""
+    shared = "a long shared passage that appears verbatim in both docs "
+    rows = [
+        (1, shared * 3 + "unique tail one two three"),
+        (2, "different head material " + shared * 3),
+        (3, "entirely unrelated words with no common substring at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for family in ("md5", "rolling"):
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in fingerprint_overlap_pairs(
+                     df, min_shared=3, family=family).collect()}
+        assert pairs == {(1, 2)}, family
+
+    # deterministic across runs, and identical docs → identical sets
+    dup = spark.createDataFrame([(1, shared), (2, shared)],
+                                ["doc_id", "text"])
+    fps = {r["doc_id"]: sorted(r["fingerprints"])
+           for r in document_fingerprints(dup, family="rolling").collect()}
+    assert fps[1] == fps[2] and len(fps[1]) > 0
+
+    import pytest
+    with pytest.raises(ValueError):
+        document_fingerprints(df, family="nope")
+
+
+def test_hot_fingerprint_cap_bounds_pairs(spark):
+    """A fingerprint shared corpus-wide (boilerplate) must not produce
+    m² pairs when the cap is on."""
+    boiler = "identical boilerplate text repeated everywhere " * 4
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(40)], ["doc_id", "text"])
+    assert fingerprint_overlap_pairs(
+        docs, min_shared=1, max_fp_docs=10).count() == 0
+    assert fingerprint_overlap_pairs(
+        docs, min_shared=1, max_fp_docs=None).count() == 40 * 39 // 2

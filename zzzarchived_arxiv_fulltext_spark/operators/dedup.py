@@ -88,11 +88,24 @@ def minhash_signatures(shingled: DataFrame, num_hashes: int = 16) -> DataFrame:
     return shingled.groupBy("id").agg(*aggs)
 
 
+DEFAULT_MAX_BUCKET_SIZE = 10_000
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
-                        rows_per_band: int = 4) -> DataFrame:
+                        rows_per_band: int = 4,
+                        max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+                        ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidates.
 
     Bucket join (equi-join on band hash) — never a cross join.
+
+    Hot-bucket cap: a degenerate bucket (boilerplate shingles,
+    empty-ish docs sharing a signature) of size m produces m² pairs;
+    buckets with more than ``max_bucket_size`` docs are dropped
+    entirely before the self-join (the standard mitigation — such
+    buckets carry no discriminating signal anyway). Bounds the
+    worst-case candidate count at max_bucket_size² per bucket.
+    ``max_bucket_size=None`` disables the cap.
     """
     band_entries = F.array(*[
         F.struct(
@@ -106,6 +119,16 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
     buckets = signatures.select(
         "id", F.explode(band_entries).alias("e")
     ).select("id", "e.band", "e.bucket")
+
+    if max_bucket_size is not None:
+        hot = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(F.broadcast(hot), on=["band", "bucket"],
+                               how="left_anti")
 
     left = buckets.alias("a")
     right = buckets.alias("b")
@@ -190,9 +213,9 @@ def near_duplicates_minhash(
 _HEX = "0123456789abcdef"
 
 
-def _hex_digit_bit(word: Column, b: int) -> Column:
-    """Bit ``b`` (0-based, 16 bits) of md5(word)'s leading hex digits."""
-    digit = F.substring(F.md5(word), b // 4 + 1, 1)
+def _digest_bit(digest: Column, b: int) -> Column:
+    """Bit ``b`` (0-based, 16 bits) of a hex digest's leading digits."""
+    digit = F.substring(digest, b // 4 + 1, 1)
     val = F.instr(F.lit(_HEX), digit) - 1
     return F.shiftright(val, 3 - (b % 4)) % 2
 
@@ -202,14 +225,17 @@ def simhash(df: DataFrame, bits: int = 16, text_col: str = "text",
     """Per-document SimHash: majority vote over token hash bits.
 
     (id, simhash) with simhash in [0, 2^bits). Pure JVM expressions —
-    explode words, one groupBy with ``bits`` conditional sums.
+    explode words, one groupBy with ``bits`` conditional sums. The
+    md5 digest is computed ONCE per token in a projection below the
+    aggregate — Catalyst does not reliably CSE across aggregate
+    expressions, so inlining it would hash each token ``bits`` times.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
-    )
+    ).select("id", F.md5("w").alias("_d"))
     sums = toks.groupBy("id").agg(*[
-        F.sum(_hex_digit_bit(F.col("w"), b) * 2 - 1).alias(f"s{b}")
+        F.sum(_digest_bit(F.col("_d"), b) * 2 - 1).alias(f"s{b}")
         for b in range(bits)
     ])
     value = sum(

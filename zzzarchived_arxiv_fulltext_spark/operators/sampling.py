@@ -80,12 +80,49 @@ def stratified_sample(
     return df.where(hash_bucket(F.col(key_col), buckets) < cut)
 
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _order_bucket(df: DataFrame, id_col: str, prefix_len: int,
+                  numeric_buckets: int):
+    """An ORDER-PRESERVING coarse bucket of the id column.
+
+    The bucket function g must satisfy a < b ⇒ g(a) <= g(b), so that
+    (bucket asc, id asc) equals global id order exactly:
+
+    - string ids: the first ``prefix_len`` characters (lexicographic
+      order is preserved by fixed-length prefixes);
+    - integral ids: fixed-width blocks of the [min, max] range (one
+      tiny min/max aggregate picks the width).
+
+    Returns (bucket_column, spark_type_ddl) or None when the id type
+    has no cheap order-preserving bucketing (falls back to the global
+    window).
+    """
+    dtype = dict(df.dtypes)[id_col]
+    id_ = F.col(id_col)
+    if dtype == "string":
+        return (F.coalesce(F.substring(id_, 1, prefix_len), F.lit("")),
+                "string")
+    if dtype in _INTEGRAL_TYPES:
+        row = df.agg(F.min(id_), F.max(id_)).first()
+        lo, hi = row[0], row[1]
+        if lo is None:  # empty input: any constant bucket works
+            return F.lit(0).cast("bigint"), "bigint"
+        block = max(1, -(-(hi - lo + 1) // numeric_buckets))  # ceil
+        return (F.coalesce(F.floor((id_ - F.lit(lo)) / F.lit(block))
+                           .cast("bigint"), F.lit(-1)), "bigint")
+    return None
+
+
 def shard_by_token_budget(
     df: DataFrame,
     budget_tokens: int,
     text_col: str = "text",
     id_col: str = "doc_id",
     shard_col: str = "shard",
+    prefix_len: int = 3,
+    numeric_buckets: int = 1 << 16,
 ) -> DataFrame:
     """Assign documents to ~``budget_tokens``-sized output shards.
 
@@ -93,19 +130,65 @@ def shard_by_token_budget(
     accumulate whitespace-token counts, and a document's shard is its
     exclusive prefix sum divided by the budget — deterministic under
     any partitioning, so re-running materializes identical shards.
-    (The id-ordered running sum is one global sort — at 10^12 rows,
-    run it per hash-bucketed partition group instead; the assignment
-    stays deterministic because bucket membership is content-stable.)
+
+    Scale design — a two-pass partitioned prefix sum, never a global
+    sort: ids are grouped into ORDER-PRESERVING buckets (string
+    prefixes / numeric blocks, see :func:`_order_bucket`), pass one
+    aggregates per-bucket token totals (map-side combined; the
+    cumulative offsets are bounded driver metadata, like IVF
+    centroids), pass two runs the running sum WITHIN each bucket
+    (``Window.partitionBy`` — a hash shuffle on the bucket key, no
+    single-partition exchange) and adds the broadcast bucket offset.
+    Identical output to ``sum() OVER (ORDER BY id)`` because bucket
+    order refines to global id order. Degenerate distributions (all
+    ids sharing one prefix) collapse to one bucket — widen
+    ``prefix_len`` for such corpora. Triggers one small aggregate
+    action per call (two for integral ids).
     """
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
     n_tokens = F.size(F.split(F.col(text_col), " "))
-    w = Window.orderBy(id_col).rowsBetween(
+
+    bucketing = _order_bucket(df, id_col, prefix_len, numeric_buckets)
+    if bucketing is None:  # exotic id type: correct-but-global fallback
+        w = Window.orderBy(id_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        running = F.sum(n_tokens).over(w) - n_tokens
+        return df.withColumn(
+            shard_col, F.floor(running / budget_tokens).cast("int")
+        ).withColumn("n_tokens", n_tokens)
+
+    bucket_expr, bucket_type = bucketing
+    staged = (df.withColumn("_tb_bucket", bucket_expr)
+                .withColumn("_tb_n", n_tokens))
+
+    # pass 1: per-bucket totals → exclusive cumulative offsets.
+    # Python's str sort (code points) matches Spark's UTF-8 binary
+    # string order, so the driver-side cumsum is ordered identically.
+    totals = staged.groupBy("_tb_bucket").agg(
+        F.sum("_tb_n").alias("_t")).collect()
+    totals.sort(key=lambda r: r["_tb_bucket"])
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["_tb_bucket"], acc))
+        acc += r["_t"]
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(
+        offsets, f"_tb_bucket {bucket_type}, _tb_offset long")
+
+    # pass 2: within-bucket running sum + broadcast offset
+    w = Window.partitionBy("_tb_bucket").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
-    running = F.sum(n_tokens).over(w) - n_tokens  # exclusive prefix sum
-    return df.withColumn(
-        shard_col, F.floor(running / budget_tokens).cast("int")
-    ).withColumn("n_tokens", n_tokens)
+    within = F.sum("_tb_n").over(w) - F.col("_tb_n")
+    return (
+        staged.join(F.broadcast(offsets_df), "_tb_bucket")
+        .withColumn(
+            shard_col,
+            F.floor((F.col("_tb_offset") + within) / budget_tokens)
+            .cast("int"))
+        .withColumn("n_tokens", F.col("_tb_n"))
+        .select(*df.columns, shard_col, "n_tokens")
+    )
 
 
 def hash_split(

@@ -114,8 +114,20 @@ def run_corpus_prep(
     Writes the kept documents (PII-redacted, with their split label)
     as one snapshot and, optionally, the full per-document funnel as
     another. Returns the funnel counts {stage: n_docs}.
+
+    The funnel DAG (including the whole MinHash/LSH pipeline) is
+    MATERIALIZED EXACTLY ONCE: committed to ``funnel_table`` first and
+    read back for the kept-join and the counts (the write-once-read-
+    committed pattern ``run_dedup`` uses), or localCheckpoint'ed when
+    no funnel table is given. Without this, each downstream action
+    would re-run shingling + signatures + the bucket join.
     """
     funnel = corpus_prep_funnel(docs, **funnel_kwargs)
+    if funnel_table is not None:
+        funnel_snap = funnel_table.append(funnel)
+        funnel = funnel_table.read_snapshot(spark, funnel_snap)
+    else:
+        funnel = funnel.localCheckpoint()
     kept = (
         docs.join(funnel.where(F.col("stage").startswith("kept_")),
                   on="doc_id")
@@ -127,8 +139,6 @@ def run_corpus_prep(
         )
     )
     corpus_table.append(kept)
-    if funnel_table is not None:
-        funnel_table.append(funnel)
     return {
         r["stage"]: r["n"]
         for r in funnel.groupBy("stage").agg(F.count("*").alias("n"))
