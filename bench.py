@@ -93,6 +93,45 @@ def calibration_parallel_seconds(workers: int = 8) -> float:
     return max(times)
 
 
+# single-threaded calibration on an idle box (documented in
+# BENCH/BASELINE.md and memory); above 1.5x this the box is flagged
+# slow and the headline gets an extra run
+IDLE_CALIBRATION_SEC = 0.5
+
+
+def _control_child(args) -> int:
+    lo, hi = args
+    from zzzarchived_arxiv_fulltext_spark.operators.span_extract import (
+        _extract_texts,
+    )
+    from zzzarchived_arxiv_fulltext_spark.sources.fixtures import make_doc
+
+    for i in range(lo, hi):
+        _, spans = make_doc(i)
+        _extract_texts([
+            s["text"]
+            for s in sorted(spans, key=lambda s: s["offset"])
+            if s["kind"] == "text"
+        ])
+    return hi - lo
+
+
+def control_docs_per_sec(n: int, procs: int) -> float:
+    """Frameworkless control: the same pure-Python extraction fanned
+    out over raw multiprocessing (same protocol as
+    tools/scaling_bench.py). Spark-vs-control at the same concurrency
+    is the box-speed-independent signal for cross-round judging.
+    """
+    from multiprocessing import Pool
+
+    chunks = [(k * n // procs, (k + 1) * n // procs) for k in range(procs)]
+    with Pool(procs) as pool:
+        t0 = time.perf_counter()
+        pool.map(_control_child, chunks)
+        sec = time.perf_counter() - t0
+    return n / sec
+
+
 def find_regressions(query_secs: dict, calibration: float) -> dict:
     """Diff per-query times against the latest BENCH_r{N}.json.
 
@@ -152,6 +191,10 @@ def main():
 
     calibration = calibration_seconds()
     calibration_parallel = calibration_parallel_seconds()
+    box_slow = calibration > 1.5 * IDLE_CALIBRATION_SEC
+    # control measured BEFORE the JVM exists (forking a Pool after
+    # py4j starts is fragile) and at the same concurrency as Spark
+    control_dps = control_docs_per_sec(min(n_docs, 24000), cpus)
 
     spark = build_spark(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
@@ -171,7 +214,7 @@ def main():
     # best of two runs (first run still pays JIT/page-cache warmup) —
     # same protocol as tools/scaling_bench.py.
     runs = []
-    for _ in range(2):
+    for _ in range(3 if box_slow else 2):  # slow box → one extra shot
         t0 = time.perf_counter()
         extract_documents(spark.read.parquet(fixture)).write.format(
             "noop"
@@ -205,6 +248,9 @@ def main():
         "cpus": cpus,
         "calibration_sec": round(calibration, 3),
         "calibration_parallel_sec": round(calibration_parallel, 3),
+        "box_slow": box_slow,
+        "control_docs_per_sec": round(control_dps, 2),
+        "spark_vs_control_ratio": round(docs_per_sec / control_dps, 3),
         "regressions_vs_prev_round": find_regressions(query_secs, calibration),
     }))
 

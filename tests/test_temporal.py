@@ -37,6 +37,31 @@ def test_asof_semantics(spark):
     assert got["p3"] == (None, None, None)    # key never clicked
 
 
+def test_asof_tolerance_bounds_staleness(spark):
+    left, right = _frames(spark)
+    got = {
+        r["pid"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join(left, right, key="user_id", ts="ts",
+                           right_cols=("value",), tolerance=5).collect()
+    }
+    assert len(got) == 4                 # left rows always survive
+    assert got["p1"] == (5, 50.0)        # ts=10, match at 5 → age 5 ok
+    assert got["p2"] == (20, 99.0)       # age 0
+    assert got["p0"] == (None, None)     # no preceding row at all
+    # a tighter window nulls the p1 match (age 5 > 4) but keeps exact
+    tight = {
+        r["pid"]: r["asof_ts"]
+        for r in asof_join(left, right, key="user_id", ts="ts",
+                           right_cols=("value",), tolerance=4).collect()
+    }
+    assert tight["p1"] is None and tight["p2"] == 20
+
+    import pytest
+    with pytest.raises(ValueError):
+        asof_join(left, right, key="user_id", ts="ts",
+                  tolerance=-1).collect()
+
+
 def test_asof_is_one_shuffle(spark):
     left, right = _frames(spark)
     buf = io.StringIO()

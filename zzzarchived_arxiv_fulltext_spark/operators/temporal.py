@@ -32,11 +32,20 @@ def asof_join(
     ts: str = "ts",
     right_cols: Sequence[str] = ("value",),
     prefix: str = "asof_",
+    tolerance: float = None,
 ) -> DataFrame:
     """Left rows + the latest right payload at or before each left ts.
 
     Output: all left columns, plus ``<prefix>ts`` and ``<prefix><col>``
     for every name in ``right_cols`` (NULL when no right row precedes).
+
+    ``tolerance`` (seconds for timestamp ``ts`` columns, plain units
+    for numeric ones) bounds staleness: a match older than
+    ``left.ts - tolerance`` is nulled out, like DuckDB's
+    ``ASOF ... AND l.ts - r.ts <= X`` shape — the common
+    feature-engineering variant ("last click, but only if within the
+    attribution window"). There is no fallback to an older row: any
+    earlier right row is staler still.
     """
     payload = F.struct(
         F.col(ts).alias("ts"), *[F.col(c) for c in right_cols]
@@ -72,6 +81,19 @@ def asof_join(
         .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
         .where(F.col("_side") == 1)
     )
+    if tolerance is not None:
+        if tolerance < 0:
+            raise ValueError("tolerance must be >= 0")
+        if "timestamp" in dict(matched.dtypes)["_ts"]:
+            # TIMESTAMP/_NTZ cannot cast to double; age via microseconds
+            age = (
+                F.unix_micros(F.col("_ts").cast("timestamp"))
+                - F.unix_micros(F.col("_m.ts").cast("timestamp"))
+            ) / 1e6
+        else:
+            age = F.col("_ts").cast("double") - F.col("_m.ts").cast("double")
+        matched = matched.withColumn(
+            "_m", F.when(age <= F.lit(float(tolerance)), F.col("_m")))
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     out_cols.append(F.col("_m.ts").alias(f"{prefix}ts"))
     out_cols += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols]

@@ -527,16 +527,20 @@ _SCRUB_STEPS_SQL = (
 )
 
 
-def _psv_chain_sql() -> str:
-    expr = "text || ' '"
+def _scrub_sql(expr: str) -> str:
+    """SQL twin of one tidy line: first-repair hyphen strip, expand,
+    scalar scrub chain, second-repair hyphen strip."""
     expr = f"regexp_replace({expr}, '- $', '', 'g')"
     for pat, repl in _EXPAND_STEPS_SQL:
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'gi')"
     for pat, repl in _SCRUB_STEPS_SQL:
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
-    expr = f"regexp_replace({expr}, '- $', '', 'g')"
-    # _clean_sentence: must start with \w; \W -> ' '; collapse; strip;
-    # drop <=3 chars; lowercase
+    return f"regexp_replace({expr}, '- $', '', 'g')"
+
+
+def _clean_sql(expr: str) -> str:
+    """SQL twin of _clean_sentence: must start with \\w; \\W -> ' ';
+    collapse; strip; drop <=3 chars; lowercase."""
     cleaned = (
         f"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
         f"{expr}, '\\W', ' ', 'g'), '\\s+', ' ', 'g'), '^\\s+', '', 'g'),"
@@ -547,6 +551,10 @@ def _psv_chain_sql() -> str:
         f" WHEN length({cleaned}) <= 3 THEN ''"
         f" ELSE lower({cleaned}) END"
     )
+
+
+def _psv_chain_sql() -> str:
+    return _clean_sql(_scrub_sql("text || ' '"))
 
 
 @_register(
@@ -564,6 +572,83 @@ def q_psv_normalize_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return texts.map(normalize_text_psv)
 
     return _docs(spark, sf_dir).select("doc_id", psv_udf("text").alias("psv"))
+
+
+# --------------------------------------------------------------------------
+# Multi-line PSV pathology: non-vacuous oracle coverage for the
+# STATEFUL text passes (V4 split_on_references incl. the last-heading
+# rule and the 50% guard, V5 boilerplate strip incl. the prev-line
+# affiliation rule, V7 hyphenation/EOL repair). The driver corpus is
+# single-line ASCII, so these passes are no-ops in psv_normalize_udf;
+# here each document is wrapped in one of three planted multi-line
+# scaffolds whose stateful-pass result is CLOSED FORM (validated
+# against the reference semantics, fulltext/process/psv.py:111-148,
+# 243-282), reducing the oracle to the already-twinned scalar chain.
+# If any of V4/V5/V7 breaks, the expected string changes.
+# --------------------------------------------------------------------------
+
+# scaffold A (doc_id%3==0): arXiv stamp dropped, digits+University
+# affiliation pair dropped, hyphen + lowercase-continuation rejoin,
+# late References heading split off (refs fraction under the guard)
+_SCAFFOLD_A = ["arXiv:1701.0001 22 Jan 2017",
+               "The measured effect was obtai-",
+               "ned without interruption",
+               "98765",
+               "University of Testing",
+               None,  # the document's own text
+               "References",
+               "[1] junk citation 2001",
+               "[2] more junk 1999"]
+# scaffold B (%3==1): heading on line 1 of 3 — the refs block would be
+# >50% of the doc, so the guard keeps everything (heading included)
+_SCAFFOLD_B = ["References", "The guard keeps everything intact", None]
+# scaffold C (%3==2): TWO headings — the split must take the LAST one
+_SCAFFOLD_C = ["References", "The last heading wins here", None,
+               "Bibliography", "[1] junk"]
+
+
+def _psv_multiline_oracle() -> str:
+    exp_a = _clean_sql(
+        "'The measured effect was obtained without interruption ' || "
+        + _scrub_sql("'98765 ' || text || ' '"))
+    exp_b = ("'references' || ' ' || " + _clean_sql(_scrub_sql(
+        "'The guard keeps everything intact ' || text || ' '")))
+    exp_c = ("'references' || ' ' || " + _clean_sql(_scrub_sql(
+        "'The last heading wins here ' || text || ' '")))
+    return f"""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN {exp_a}
+             WHEN 1 THEN {exp_b}
+             ELSE {exp_c}
+           END AS psv
+    FROM documents ORDER BY doc_id
+    """
+
+
+@_register("psv_multiline_pathology", _psv_multiline_oracle())
+def q_psv_multiline_pathology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .functions.psv import normalize_text_psv
+
+    @pandas_udf("string")
+    def psv_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(normalize_text_psv)
+
+    def scaffold(pieces) -> F.Column:
+        return F.concat_ws(
+            "\n", *[F.col("text") if p is None else F.lit(p)
+                    for p in pieces])
+
+    wrapped = (
+        F.when(F.col("doc_id") % 3 == 0, scaffold(_SCAFFOLD_A))
+        .when(F.col("doc_id") % 3 == 1, scaffold(_SCAFFOLD_B))
+        .otherwise(scaffold(_SCAFFOLD_C))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", psv_udf(wrapped).alias("psv"))
 
 
 # --------------------------------------------------------------------------
@@ -1103,6 +1188,54 @@ def q_purchases_with_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("asof_value").cast("double"), F.lit(-1.0))
         .alias("asof_value"),
         F.coalesce("asof_event_id", F.lit(-1)).alias("asof_event_id"),
+    )
+
+
+@_register(
+    "purchases_with_recent_click",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, value, event_id,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'click'
+    ),
+    c AS (SELECT user_id, ts, value, event_id FROM clicks WHERE rn = 1),
+    p AS (SELECT user_id, event_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+    j AS (
+      SELECT p.user_id, p.event_id, p.ts AS p_ts,
+             CASE WHEN p.ts - c.ts <= INTERVAL '600 seconds'
+                  THEN c.ts END AS m_ts,
+             CASE WHEN p.ts - c.ts <= INTERVAL '600 seconds'
+                  THEN c.value END AS m_value
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT user_id, event_id, epoch_us(p_ts) AS purchase_ts_us,
+           coalesce(epoch_us(m_ts), -1) AS asof_ts_us,
+           coalesce(m_value, -1)::DOUBLE AS asof_value
+    FROM j ORDER BY user_id, event_id
+    """,
+)
+def q_purchases_with_recent_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness bound: the last click only
+    counts when it happened within the 600 s attribution window."""
+    from .operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where("event_type = 'purchase'").select(
+        "user_id", "event_id", "ts", "value")
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", "ts", "value", "event_id")
+    joined = asof_join(purchases, clicks, key="user_id", ts="ts",
+                       right_cols=("value",), tolerance=600)
+    return joined.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_ts_us"),
+        F.coalesce(F.unix_micros(F.col("asof_ts").cast("timestamp")),
+                   F.lit(-1)).alias("asof_ts_us"),
+        F.coalesce(F.col("asof_value").cast("double"), F.lit(-1.0))
+        .alias("asof_value"),
     )
 
 
@@ -1832,6 +1965,103 @@ def _near_dup_sql(threshold: float = 0.4, hashes: int = 8,
 
 
 ORACLES["near_duplicates_minhash_full"] = _near_dup_sql()
+
+
+# --------------------------------------------------------------------------
+# Corpus-dedup keep-list (plans/dedup_job.py): planted duplicate
+# clusters (exact copy at +10000, tail-modified near-dup at +20000 of
+# each doc_id < 10) make the label-propagation fixpoint closed-form.
+# The oracle simulates the SAME minhash pipeline in SQL (so any
+# incidental base-doc pairs are captured identically) and unrolls
+# min-label propagation 6 rounds — far beyond the planted diameter.
+# --------------------------------------------------------------------------
+
+_KEEP_CORPUS_SQL = f"""
+      SELECT doc_id, text FROM documents WHERE doc_id < 10
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10
+      UNION ALL
+      SELECT doc_id + 20000, text || '{_NEAR_TAIL}'
+      FROM documents WHERE doc_id < 10
+"""
+
+
+def _keep_list_sql(threshold: float = 0.5, hashes: int = 16,
+                   bands: int = 4, rounds: int = 6) -> str:
+    rows = hashes // bands
+    mins = ", ".join(f"min(md5('{s}|' || shingle)) AS h{s}"
+                     for s in range(hashes))
+    band_rows = " UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({cols}) AS bucket FROM sig".format(
+            b=b,
+            cols=" || '|' || ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    prop = ""
+    for k in range(1, rounds + 1):
+        prop += f""",
+    l{k} AS (
+      SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+      FROM l{k - 1} l
+      LEFT JOIN e ON e.src = l.id
+      LEFT JOIN l{k - 1} n ON n.id = e.dst
+      GROUP BY l.id, l.label
+    )"""
+    return f"""
+    WITH c AS ({_KEEP_CORPUS_SQL}),
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM c),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM words, UNNEST(range(1, greatest(len(ws) - 1, 2))) AS t(i)
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+    buckets AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      JOIN cand x ON x.id_a = a.id AND x.id_b = b.id
+      GROUP BY a.id, b.id
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b FROM inter i
+      JOIN sizes sa ON sa.id = i.id_a
+      JOIN sizes sb ON sb.id = i.id_b
+      WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {threshold}
+    ),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    l0 AS (SELECT doc_id AS id, doc_id AS label FROM c){prop}
+    SELECT id, id = label AS keep, label AS cluster
+    FROM l{rounds} ORDER BY id
+    """
+
+
+@_register("dedup_keep_list", _keep_list_sql())
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.dedup_job import connected_keep_list, duplicate_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 10).select(
+        "doc_id", "text")
+    corpus = (
+        docs
+        .unionByName(docs.select((F.col("doc_id") + 10000).alias("doc_id"),
+                                 "text"))
+        .unionByName(docs.select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat("text", F.lit(_NEAR_TAIL)).alias("text")))
+    )
+    pairs = duplicate_pairs(corpus, threshold=0.5)
+    return connected_keep_list(pairs, corpus)
 
 
 # --------------------------------------------------------------------------
