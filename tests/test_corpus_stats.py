@@ -1,0 +1,96 @@
+"""Corpus statistics: repetition, line dedup, TF-IDF, surprisal."""
+
+import math
+
+from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+    dedup_doc_lines,
+    repetition_metrics,
+    tf_idf_top_terms,
+    unigram_surprisal,
+)
+
+
+def test_repetition_metrics_closed_form(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"),          # top word 4/5, top bigram "a a" 3/4
+         (2, "x y z w v")],        # all distinct
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r for r in repetition_metrics(docs).collect()}
+    r1 = got[1]
+    assert r1["n_words"] == 5
+    assert r1["distinct_word_ratio"] == 0.4
+    assert r1["top_word_fraction"] == 0.8
+    assert r1["top_bigram_fraction"] == 0.75
+    r2 = got[2]
+    assert r2["distinct_word_ratio"] == 1.0
+    assert r2["top_word_fraction"] == 0.2
+    assert r2["top_bigram_fraction"] == 0.25
+
+
+def test_dedup_doc_lines_keeps_first_occurrences(spark):
+    docs = spark.createDataFrame(
+        [(1, "header\nbody one\nheader\nbody two\nheader"),
+         (2, "only line"),
+         (3, "a\na\na")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["text"], r["n_lines_dropped"])
+           for r in dedup_doc_lines(docs).collect()}
+    assert got[1] == ("header\nbody one\nbody two", 2)
+    assert got[2] == ("only line", 0)
+    assert got[3] == ("a", 2)
+
+
+def test_tfidf_ranks_rare_terms_highest(spark):
+    # 'common' appears in every doc (idf = ln(1) = 0); 'rare' only in
+    # doc 1 → tops its ranking
+    docs = spark.createDataFrame(
+        [(1, "common rare common other"),
+         (2, "common other common"),
+         (3, "common common thing")],
+        ["doc_id", "text"],
+    )
+    rows = tf_idf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append((r["rank"], r["term"],
+                                               r["score"]))
+    top1 = sorted(by_doc[1])[0]
+    assert top1[1] == "rare"
+    assert top1[2] == round(math.log(3 / 1), 6)
+    # 'common' is everywhere → score exactly 0, never outranks others
+    assert all(term != "common" or rank > 1
+               for recs in by_doc.values() for rank, term, _ in recs
+               if len(recs) > 1)
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_unigram_surprisal_orders_rare_docs_higher(spark):
+    docs = spark.createDataFrame(
+        [(1, "the the the the"),      # globally common
+         (2, "the the the unicorn")],  # one rare token
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r for r in unigram_surprisal(docs).collect()}
+    assert got[1]["n_words"] == 4
+    # p(the) = 7/8, p(unicorn) = 1/8
+    exp1 = round(-math.log(7 / 8), 6)
+    exp2 = round((3 * -math.log(7 / 8) - math.log(1 / 8)) / 4, 6)
+    assert abs(got[1]["mean_surprisal"] - exp1) < 1e-6
+    assert abs(got[2]["mean_surprisal"] - exp2) < 1e-6
+    assert got[2]["mean_surprisal"] > got[1]["mean_surprisal"]
+
+
+def test_corpus_stats_plans_have_no_single_partition_exchange(spark):
+    import contextlib
+    import io
+
+    docs = spark.createDataFrame(
+        [(i, "w x y z " * 5) for i in range(20)], ["doc_id", "text"])
+    for out in (repetition_metrics(docs), tf_idf_top_terms(docs),
+                unigram_surprisal(docs)):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        assert "Exchange SinglePartition" not in buf.getvalue()

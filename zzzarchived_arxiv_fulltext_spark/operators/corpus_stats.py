@@ -1,0 +1,151 @@
+"""Corpus-statistics operators: repetition metrics, intra-document
+line dedup, TF-IDF term weighting, unigram surprisal scoring.
+
+The second tier of training-data quality filtering (after the
+per-document heuristics in ``text_metrics.quality_scores``): metrics
+that look at REPETITION and at CORPUS-level term statistics — the
+filter family popularized by the Gopher/MassiveText rules (Rae et
+al. 2021, public) and standard TF-IDF weighting.
+
+Scale shape: everything is explode → map-side-combinable groupBy →
+(broadcast) join back; no per-row Python, no window without a
+partition key, no driver-side data. The corpus-level vocabularies
+(distinct tokens) are broadcast-joined — token vocabularies are small
+by Heaps' law relative to the corpus.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition statistics (Gopher-style filters).
+
+    (id, n_words, distinct_word_ratio, top_word_fraction,
+    top_bigram_fraction): the share of the document taken by its most
+    frequent word / word-bigram. Machine-generated and boilerplate
+    text scores high; the standard cut is ~0.2 for the top bigram.
+
+    Two map-side-combinable aggregations (doc×gram, then doc) and a
+    join back — no per-doc Python, scale-safe.
+    """
+    words = _words(df, text_col, id_col)
+    word_counts = words.groupBy("id", "w").agg(F.count("*").alias("c"))
+    word_stats = word_counts.groupBy("id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_word_c"),
+    )
+
+    ws = F.split(F.col(text_col), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - 2, F.lit(0))),
+        lambda k: F.array_join(F.slice(ws, k + 1, 2), " "),
+    )
+    bigram_counts = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(bigrams).alias("g"))
+        .groupBy("id", "g").agg(F.count("*").alias("c"))
+    )
+    bigram_stats = bigram_counts.groupBy("id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_c"),
+    )
+    return (
+        word_stats.join(bigram_stats, on="id")
+        .select(
+            "id",
+            "n_words",
+            F.round(F.col("n_distinct") / F.col("n_words"), 6)
+            .alias("distinct_word_ratio"),
+            F.round(F.col("top_word_c") / F.col("n_words"), 6)
+            .alias("top_word_fraction"),
+            F.round(F.col("top_bigram_c") / F.col("n_bigrams"), 6)
+            .alias("top_bigram_fraction"),
+        )
+    )
+
+
+def dedup_doc_lines(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    sep: str = "\n") -> DataFrame:
+    """Drop repeated lines WITHIN each document, keeping first
+    occurrences in order (header/footer boilerplate cleanup).
+
+    Pure JVM projection: ``array_distinct`` preserves first-occurrence
+    order, so the whole pass pipelines with the scan — no shuffle.
+    """
+    deduped = F.array_join(
+        F.array_distinct(F.split(F.col(text_col), sep)), sep)
+    return df.select(
+        F.col(id_col),
+        deduped.alias("text"),
+        (F.size(F.split(F.col(text_col), sep))
+         - F.size(F.array_distinct(F.split(F.col(text_col), sep))))
+        .alias("n_lines_dropped"),
+    )
+
+
+def tf_idf_top_terms(df: DataFrame, k: int = 3,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    (id, term, tf, df, score, rank) with score = tf * ln(N / df),
+    ties broken by term. The document-frequency side is a distinct
+    (doc, term) aggregation joined back — broadcast-sized by Heaps'
+    law; the per-doc top-k is a window over (id) only.
+    """
+    words = _words(df, text_col, id_col)
+    n_docs = df.count()
+    tf = words.groupBy("id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), on="w")
+        .select(
+            "id", F.col("w").alias("term"), "tf", "df",
+            F.round(F.col("tf") * F.log(n_docs / F.col("df")), 6)
+            .alias("score"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(
+                F.desc("score"), F.asc("term"))),
+    )
+    return ranked.where(F.col("rank") <= k)
+
+
+def unigram_surprisal(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Mean unigram surprisal per document (an LM-free perplexity
+    proxy): -(1/n) * sum(ln(p(w))) with p(w) from the corpus itself.
+
+    Documents made of globally-common words score LOW (predictable);
+    rare-token-heavy documents score HIGH — the cheap first-pass
+    quality/outlier signal before any neural scoring. The unigram
+    table is one map-side-combined count, broadcast back onto the
+    exploded words.
+    """
+    words = _words(df, text_col, id_col)
+    vocab = words.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c")).first()[0]
+    return (
+        words.join(F.broadcast(vocab), on="w")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.avg(-F.log(F.col("c") / F.lit(float(total)))), 6)
+            .alias("mean_surprisal"),
+        )
+    )

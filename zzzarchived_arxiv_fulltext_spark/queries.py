@@ -2102,3 +2102,116 @@ def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.unionByName(planted), threshold=0.999, dim=64,
         tables=6, planes=8,
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus statistics: repetition metrics (Gopher-style filters),
+# intra-document line dedup, TF-IDF term weighting, unigram surprisal.
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "repetition_metrics",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    w AS (SELECT doc_id, unnest(ws) AS w FROM d),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+    wstats AS (
+      SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+             max(c) AS top_word_c
+      FROM wc GROUP BY doc_id
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+      FROM d, UNNEST(range(1, greatest(len(ws), 2))) AS t(i)
+    ),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+    gstats AS (
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_c
+      FROM gc GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.n_words,
+           round(w.n_distinct / w.n_words, 6) AS distinct_word_ratio,
+           round(w.top_word_c / w.n_words, 6) AS top_word_fraction,
+           round(g.top_bigram_c / g.n_bigrams, 6) AS top_bigram_fraction
+    FROM wstats w JOIN gstats g USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus_stats import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir)).withColumnRenamed(
+        "id", "doc_id")
+
+
+@_register(
+    "dedup_doc_lines",
+    """
+    SELECT doc_id,
+           text || chr(10) || 'dup line' || chr(10) || 'tail line' AS text,
+           2 AS n_lines_dropped
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_dedup_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted multi-line construction: the doc's own text appears
+    twice and a boilerplate line twice; first occurrences survive in
+    order, so the result is closed-form."""
+    from .operators.corpus_stats import dedup_doc_lines
+
+    planted = F.concat_ws(
+        "\n", F.col("text"), F.lit("dup line"), F.lit("dup line"),
+        F.col("text"), F.lit("tail line"))
+    docs = _docs(spark, sf_dir).select("doc_id", planted.alias("text"))
+    return dedup_doc_lines(docs)
+
+
+@_register(
+    "tfidf_top_terms",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+    w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY doc_id, w),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT tf.doc_id, tf.w AS term, tf.tf, dfreq.df,
+             round(tf.tf * ln((SELECT count(*) FROM d) / dfreq.df), 6)
+               AS score
+      FROM tf JOIN dfreq USING (w)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, rank
+    FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus_stats import tf_idf_top_terms
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    return tf_idf_top_terms(docs, k=3).withColumnRenamed("id", "doc_id")
+
+
+@_register(
+    "unigram_surprisal",
+    """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    v AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+    t AS (SELECT sum(c) AS total FROM v)
+    SELECT doc_id, count(*) AS n_words,
+           round(avg(-ln(v.c / (SELECT total FROM t))), 6)
+             AS mean_surprisal
+    FROM w JOIN v USING (w)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus_stats import unigram_surprisal
+
+    return unigram_surprisal(_docs(spark, sf_dir)).withColumnRenamed(
+        "id", "doc_id")
