@@ -216,6 +216,49 @@ def test_pdf_filter_chain_a85_then_flate():
         _one_obj_pdf(enc, b"[/ASCII85Decode /FlateDecode]")) == "chained"
 
 
+def test_pdf_tounicode_cmap_decodes_glyph_ids():
+    # bfchar: glyph 1 -> 'H'; bfrange triple: glyphs 2-4 -> 'e','f','g';
+    # bfrange array: glyph 5 -> 'll' (ligature), glyph 6 -> 'o'
+    cmap = (b"/CIDInit /ProcSet findresource begin begincmap\n"
+            b"1 beginbfchar <0001> <0048> endbfchar\n"
+            b"1 beginbfrange <0002> <0004> <0065> endbfrange\n"
+            b"1 beginbfrange <0005> <0006> [<006C006C> <006F>]"
+            b" endbfrange\nendcmap end")
+    content = b"BT <0001000200050006> Tj ET"
+    pdf = (b"1 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+           b"2 0 obj\n<< /Length %d >>\nstream\n%s\nendstream"
+           % (len(cmap), cmap, len(content), content))
+    assert extract_pdf_text(pdf) == "Hello"
+    # unmapped hex strings still decode latin-1 despite the cmap
+    pdf2 = pdf.replace(content,
+                       b"BT <4A4B> Tj ET")  # 0x4A4B not in the cmap
+    assert extract_pdf_text(pdf2) == "JK"
+
+
+def test_pdf_utf16be_literal_string():
+    raw = b"BT (\xfe\xff\x00H\x00i) Tj ET"
+    pdf = b"1 0 obj\n<< /Length %d >>\nstream\n%s\nendstream" % (len(raw), raw)
+    assert extract_pdf_text(pdf) == "Hi"
+
+
+def test_pdf_bfrange_cap_and_garbage_cmaps():
+    from zzzarchived_arxiv_fulltext_spark.functions.pdf_text import (
+        parse_tounicode_cmaps,
+    )
+    # adversarial huge range is capped, not materialized
+    huge = (b"1 beginbfrange <00000001> <7FFFFFFF> <0041> endbfrange")
+    pdf = (b"1 0 obj\n<< /Length %d >>\nstream\n%s\nendstream"
+           % (len(huge), huge))
+    m = parse_tounicode_cmaps(pdf)
+    assert 0 < len(m) <= (1 << 16)
+    assert m[(4, 1)] == "A"
+    # malformed cmap bodies parse to nothing, never raise
+    bad = b"1 beginbfchar <zz> <xx> endbfchar"
+    pdf2 = (b"1 0 obj\n<< /Length %d >>\nstream\n%s\nendstream"
+            % (len(bad), bad))
+    assert parse_tounicode_cmaps(pdf2) == {}
+
+
 def test_pdf_opaque_and_unknown_filters_skipped():
     jpeg = b"\xff\xd8\xff\xe0BT (not text) Tj ET\xff\xd9"
     assert extract_pdf_text(_one_obj_pdf(jpeg, b"/DCTDecode")) == ""

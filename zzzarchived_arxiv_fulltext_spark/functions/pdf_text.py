@@ -14,6 +14,9 @@ born-digital PDFs actually use for their text layer —
   space insertion),
 - literal ``(...)`` strings (escapes, octal, nested parens) and hex
   ``<...>`` strings,
+- ``/ToUnicode`` CMaps (bfchar/bfrange, range-offset and array forms)
+  mapping subsetted-font glyph-ID hex strings back to unicode, plus
+  UTF-16BE (BOM-prefixed) text strings,
 - line positioning via ``Td``/``TD``/``T*``/``Tm``,
 
 with zero external dependencies, so a raw-PDF corpus can be ingested
@@ -201,6 +204,103 @@ def _apply_filters(data: bytes, obj_dict: bytes) -> bytes:
     return data
 
 
+# --------------------------------------------------------------------------
+# ToUnicode CMaps: subsetted embedded fonts show text as glyph-ID hex
+# strings; the /ToUnicode CMap stream maps glyph IDs back to unicode.
+# Without it the raw latin-1 decode of glyph IDs is garbage — this is
+# the single biggest fidelity gap for real born-digital PDFs.
+# --------------------------------------------------------------------------
+
+_MAX_BFRANGE = 1 << 16  # cap per file against adversarial huge ranges
+
+_BFCHAR_BLOCK = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_BLOCK = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_PAIR = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEX_TRIPLE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEX_ARRAY = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]", re.S)
+_HEX_TOKEN = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16_hex(h: bytes) -> str:
+    try:
+        return bytes.fromhex(h.decode("ascii")).decode(
+            "utf-16-be", "replace")
+    except ValueError:
+        return ""
+
+
+def _utf16_hex_offset(h: bytes, k: int) -> str:
+    """CMap bfrange destination plus ``k``: increment the LAST 16-bit
+    code unit (the spec's range semantics)."""
+    try:
+        b = bytes.fromhex(h.decode("ascii"))
+    except ValueError:
+        return ""
+    if len(b) < 2:
+        return ""
+    last = int.from_bytes(b[-2:], "big") + k
+    return (b[:-2] + (last & 0xFFFF).to_bytes(2, "big")).decode(
+        "utf-16-be", "replace")
+
+
+def parse_tounicode_cmaps(pdf: bytes) -> dict:
+    """Merge every ToUnicode CMap in the file into one
+    {(code_bytes, code): str} map.
+
+    Merging across fonts is a documented heuristic: per-font
+    resolution needs the full object graph (xref + /Resources/Font),
+    while subsetted fonts in practice use disjoint glyph-ID ranges, so
+    the merged map is correct for the overwhelmingly common case and
+    never WORSE than the latin-1 fallback (unmapped codes fall back).
+    """
+    cmap: dict = {}
+    added = 0
+    for data in iter_streams(pdf):
+        if b"beginbfchar" not in data and b"beginbfrange" not in data:
+            continue
+        for m in _BFCHAR_BLOCK.finditer(data):
+            for src, dst in _HEX_PAIR.findall(m.group(1)):
+                cmap[(len(src) // 2, int(src, 16))] = _utf16_hex(dst)
+        for m in _BFRANGE_BLOCK.finditer(data):
+            body = m.group(1)
+            for lo, hi, arr in _HEX_ARRAY.findall(body):
+                nb, lo_i = len(lo) // 2, int(lo, 16)
+                for k, d in enumerate(_HEX_TOKEN.findall(arr)):
+                    cmap[(nb, lo_i + k)] = _utf16_hex(d)
+            body = _HEX_ARRAY.sub(b"", body)  # triples must not re-match
+            for lo, hi, dst in _HEX_TRIPLE.findall(body):
+                nb, lo_i, hi_i = len(lo) // 2, int(lo, 16), int(hi, 16)
+                span = min(hi_i - lo_i + 1, _MAX_BFRANGE - added)
+                for k in range(max(span, 0)):
+                    cmap[(nb, lo_i + k)] = _utf16_hex_offset(dst, k)
+                added += max(span, 0)
+    return cmap
+
+
+class _HexStr(bytes):
+    """Marker: this show-string came from ``<...>`` hex syntax (the
+    syntax glyph-ID strings use), so it is eligible for CMap decode."""
+
+
+def _decode_shown(b: bytes, cmap: Optional[dict]) -> str:
+    if cmap and isinstance(b, _HexStr) and b:
+        for nb in (2, 1):
+            if len(b) % nb:
+                continue
+            codes = [(nb, int.from_bytes(b[i:i + nb], "big"))
+                     for i in range(0, len(b), nb)]
+            if all(c in cmap for c in codes):
+                return "".join(cmap[c] for c in codes)
+    if b.startswith(b"\xfe\xff"):  # UTF-16BE text string
+        try:
+            return b[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            pass
+    return b.decode("latin-1")
+
+
 def _parse_literal_string(data: bytes, i: int) -> tuple:
     """Parse a ``(...)`` string starting at ``data[i] == '('``."""
     out = bytearray()
@@ -240,21 +340,21 @@ def _parse_literal_string(data: bytes, i: int) -> tuple:
 def _parse_hex_string(data: bytes, i: int) -> tuple:
     end = data.find(b">", i)
     if end < 0:
-        return b"", len(data)
+        return _HexStr(b""), len(data)
     hexs = re.sub(rb"\s", b"", data[i + 1:end])
     if len(hexs) % 2:
         hexs += b"0"
     try:
-        return bytes.fromhex(hexs.decode("ascii")), end + 1
+        return _HexStr(bytes.fromhex(hexs.decode("ascii"))), end + 1
     except ValueError:
-        return b"", end + 1
+        return _HexStr(b""), end + 1
 
 
 _NUMBER_RE = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)")
 _OPERATOR_RE = re.compile(rb"[A-Za-z'\"*]+")
 
 
-def _stream_lines(data: bytes) -> List[str]:
+def _stream_lines(data: bytes, cmap: Optional[dict] = None) -> List[str]:
     """Run the text-op machine over one content stream → shown lines.
 
     Layout-aware: text-line positions are tracked through Td/TD/Tm/T*
@@ -290,7 +390,7 @@ def _stream_lines(data: bytes) -> List[str]:
         buf = []
         for p in parts:
             if isinstance(p, bytes):
-                buf.append(p.decode("latin-1"))
+                buf.append(_decode_shown(p, cmap))
             elif isinstance(p, float) and p <= _TJ_SPACE_GAP:
                 buf.append(" ")
         cur.append("".join(buf))
@@ -432,11 +532,15 @@ def extract_pdf_page_texts(pdf: bytes) -> List[str]:
     """Per-content-stream text blocks, in file order.
 
     One entry per stream that showed any text (for typical one-
-    content-stream-per-page PDFs: one entry per page).
+    content-stream-per-page PDFs: one entry per page). ToUnicode
+    CMaps, when present, decode glyph-ID hex strings back to unicode.
     """
+    cmap = parse_tounicode_cmaps(pdf)
     pages = []
     for stream in iter_streams(pdf):
-        lines = _stream_lines(stream)
+        if b"beginbfchar" in stream or b"beginbfrange" in stream:
+            continue  # a CMap, not page content
+        lines = _stream_lines(stream, cmap or None)
         if lines:
             pages.append("\n".join(lines))
     return pages

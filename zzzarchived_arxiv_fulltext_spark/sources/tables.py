@@ -121,6 +121,26 @@ class SnapshotTable:
     def read_snapshot(self, spark: SparkSession, snap_id: int) -> DataFrame:
         return spark.read.parquet(self.snapshot_dir(snap_id))
 
+    def read_as_of(self, spark: SparkSession, snap_id: int,
+                   schema: Optional[T.StructType] = None) -> DataFrame:
+        """Time travel: all rows committed at or before ``snap_id``
+        (Iceberg's ``VERSION AS OF`` shape) — reproduce any historical
+        training-set cut exactly, long after later appends.
+        """
+        dirs = [
+            os.path.join(self.path, s["dir"])
+            for s in self.snapshots() if s["id"] <= snap_id
+        ]
+        if not dirs:
+            if schema is None:
+                raise ValueError(
+                    f"nothing committed at or before {snap_id} in "
+                    f"{self.path}; need an explicit schema"
+                )
+            return spark.createDataFrame([], schema)
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        return reader.parquet(*dirs)
+
     def read_since(self, spark: SparkSession, after_snap_id: int,
                    schema: Optional[T.StructType] = None,
                    up_to: Optional[int] = None) -> DataFrame:
