@@ -110,8 +110,12 @@ def _order_bucket(df: DataFrame, id_col: str, prefix_len: int,
         if lo is None:  # empty input: any constant bucket works
             return F.lit(0).cast("bigint"), "bigint"
         block = max(1, -(-(hi - lo + 1) // numeric_buckets))  # ceil
-        return (F.coalesce(F.floor((id_ - F.lit(lo)) / F.lit(block))
-                           .cast("bigint"), F.lit(-1)), "bigint")
+        # integer DIV, not floor(double /): exact for the full int64
+        # range (double division loses order above 2^53)
+        bucket = F.expr(
+            f"CAST((CAST(`{id_col}` AS BIGINT) - ({lo})) DIV {block} "
+            f"AS BIGINT)")
+        return F.coalesce(bucket, F.lit(-1)), "bigint"
     return None
 
 
