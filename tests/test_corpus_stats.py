@@ -82,6 +82,31 @@ def test_unigram_surprisal_orders_rare_docs_higher(spark):
     assert got[2]["mean_surprisal"] > got[1]["mean_surprisal"]
 
 
+def test_drop_global_boilerplate_closed_form(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        drop_global_boilerplate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "footer\nbody one\nfooter"),   # footer x2 in one doc =
+         (2, "footer\nbody two"),           # still ONE distinct doc each
+         (3, "footer\nbody three"),
+         (4, "footer")],                    # everything dropped
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["text"], r["n_lines_dropped"])
+           for r in drop_global_boilerplate(docs, min_docs=3).collect()}
+    assert got[1] == ("body one", 2)   # both footer copies removed
+    assert got[2] == ("body two", 1)
+    assert got[3] == ("body three", 1)
+    assert got[4] == ("", 1)           # doc survives with empty text
+
+    # below the threshold nothing is touched
+    kept = {r["doc_id"]: r["n_lines_dropped"]
+            for r in drop_global_boilerplate(docs, min_docs=5).collect()}
+    assert all(v == 0 for v in kept.values())
+
+
 def test_corpus_stats_plans_have_no_single_partition_exchange(spark):
     import contextlib
     import io

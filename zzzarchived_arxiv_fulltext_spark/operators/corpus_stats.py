@@ -126,6 +126,56 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3,
     return ranked.where(F.col("rank") <= k)
 
 
+def drop_global_boilerplate(df: DataFrame, min_docs: int = 3,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            sep: str = "\n") -> DataFrame:
+    """Remove lines that appear in >= ``min_docs`` DISTINCT documents
+    (cross-document boilerplate: nav bars, footers, cookie banners —
+    the CCNet/RefinedWeb line-dedup rule).
+
+    Per-line document counts are one map-side-combinable aggregation;
+    the heavy-hitter line set joins back as a left-anti (small by
+    construction — at most total_lines/min_docs entries, AQE
+    broadcasts it); documents are rebuilt in original line order from
+    collected (pos, line) structs. Every input document survives
+    (possibly with empty text).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(boiler, on="line", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ), sep,
+        ).alias("_text"),
+        F.count("*").alias("_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep)).alias("_total"),
+    )
+    return (
+        totals.join(rebuilt, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+            (F.col("_total") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("int").alias("n_lines_dropped"),
+        )
+    )
+
+
 def unigram_surprisal(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Mean unigram surprisal per document (an LM-free perplexity

@@ -2215,3 +2215,50 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return unigram_surprisal(_docs(spark, sf_dir)).withColumnRenamed(
         "id", "doc_id")
+
+
+@_register(
+    "global_boilerplate_removal",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             text || chr(10) || 'shared boilerplate footer' || chr(10) ||
+             CASE WHEN doc_id % 2 = 0 THEN 'even footer'
+                  ELSE 'unique tail ' || doc_id END AS text
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, i AS pos, ls[i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+           UNNEST(range(1, len(ls) + 1)) AS t(i)
+    ),
+    b AS (
+      SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY line
+      ) WHERE nd >= 3
+    ),
+    k AS (SELECT l.* FROM l ANTI JOIN b USING (line))
+    SELECT d.doc_id,
+           coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text,
+           CAST(len(string_split(d.text, chr(10))) - count(k.line) AS INT)
+             AS n_lines_dropped
+    FROM d LEFT JOIN k USING (doc_id)
+    GROUP BY d.doc_id, d.text
+    ORDER BY d.doc_id
+    """,
+)
+def q_global_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate line removal (CCNet-style): a footer
+    planted into every document and another into every even document
+    both vanish; per-document unique tails survive. The oracle
+    simulates the same rule, so incidental cross-document text
+    collisions in the base corpus are captured identically."""
+    from .operators.corpus_stats import drop_global_boilerplate
+
+    planted = F.concat(
+        F.col("text"), F.lit("\nshared boilerplate footer\n"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("even footer"))
+        .otherwise(F.concat(F.lit("unique tail "), F.col("doc_id"))),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", planted.alias("text"))
+    return drop_global_boilerplate(docs, min_docs=3)
