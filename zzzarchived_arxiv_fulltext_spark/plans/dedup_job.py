@@ -77,23 +77,23 @@ def connected_keep_list(pairs: DataFrame, corpus: DataFrame,
             .groupBy("src").agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("src", "id")
         )
+        # carry the previous label through the checkpoint so the
+        # convergence check is a filter on MATERIALIZED data — one
+        # action per iteration, no recompute, no second join
         updated = (
             labels.join(neighbor_min, on="id", how="left")
             .select(
                 "id",
+                F.col("label").alias("_prev"),
                 F.least(
                     F.col("label"),
                     F.coalesce(F.col("nbr_label"), F.col("label")),
                 ).alias("label"),
             )
+            .localCheckpoint(eager=True)  # cut lineage growth
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), on="id")
-            .where(F.col("u.label") != F.col("l.label"))
-            .limit(1).count()
-        )
-        labels = updated.localCheckpoint(eager=True)  # cut lineage growth
+        changed = updated.where("label != _prev").limit(1).count()
+        labels = updated.drop("_prev")
         if changed == 0:
             break
     return labels.select(
