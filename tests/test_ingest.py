@@ -312,6 +312,57 @@ def test_pdf_engine_gate(spark):
             [("x", b"")], "doc_id string, pdf binary"), engine="nope")
 
 
+# -- unified format-sniffing router --------------------------------------------
+
+
+def test_sniff_format():
+    from zzzarchived_arxiv_fulltext_spark.sources.ingest_router import (
+        sniff_format,
+    )
+
+    assert sniff_format(make_simple_pdf([["x"]])) == "pdf"
+    assert sniff_format(b"  <!DOCTYPE html><html></html>") == "html"
+    assert sniff_format(b"<html><body>x</body></html>") == "html"
+    assert sniff_format(b"<p>fragment</p>") == "html"
+    assert sniff_format("plain words é".encode()) == "text"
+    assert sniff_format(b"\xff\xfe\x00\x01binary junk \x80\x81") == "unknown"
+    assert sniff_format(b"") == "unknown"
+
+
+def test_raw_to_spans_routes_mixed_corpus(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.span_extract import (
+        extract_documents,
+    )
+    from zzzarchived_arxiv_fulltext_spark.sources.ingest_router import (
+        raw_to_spans,
+    )
+
+    rows = [
+        ("p1", make_simple_pdf([["pdf page one"], ["pdf page two"]])),
+        ("h1", b"<html><body><nav><a href='/'>x</a></nav>"
+               b"<p>html body content here</p></body></html>"),
+        ("t1", b"plain text document body"),
+        ("x1", b"\x00\x01\x02\xff\xfe garbage"),
+    ]
+    raw = spark.createDataFrame(rows, "doc_id string, payload binary")
+    got = {r["doc_id"]: r for r in raw_to_spans(raw).collect()}
+    assert got["p1"]["format"] == "pdf"
+    assert [s["text"] for s in got["p1"]["spans"]] == ["pdf page one",
+                                                       "pdf page two"]
+    assert got["h1"]["format"] == "html"
+    assert got["h1"]["spans"][0]["text"] == "html body content here"
+    assert got["t1"]["format"] == "text"
+    assert got["t1"]["spans"][0]["text"] == "plain text document body"
+    assert got["x1"]["format"] == "unknown" and got["x1"]["spans"] == []
+
+    # downstream: the standard extraction operator consumes it as-is
+    out = {r["doc_id"]: r
+           for r in extract_documents(
+               raw_to_spans(raw).drop("format")).collect()}
+    assert out["p1"]["plain_text"] == "pdf page one\npdf page two"
+    assert out["x1"]["chars_extracted"] == 0
+
+
 # -- HTML main-content extraction ---------------------------------------------
 
 _PAGE = """<html><head><title>T</title><style>p{color:red}</style></head>

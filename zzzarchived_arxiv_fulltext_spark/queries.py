@@ -2262,3 +2262,53 @@ def q_global_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = _docs(spark, sf_dir).select("doc_id", planted.alias("text"))
     return drop_global_boilerplate(docs, min_docs=3)
+
+
+@_register(
+    "mixed_format_ingestion",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN 'pdf' WHEN 1 THEN 'html' ELSE 'text'
+           END AS format,
+           text
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_mixed_format_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mixed-crawl round trip: each document's text is
+    packaged as real PDF bytes, a real HTML page, or plain UTF-8 by
+    doc_id, then the format-sniffing router parses it back — the
+    recovered text must equal the original for every format."""
+    import pandas as pd
+
+    from .functions.pdf_text import make_simple_pdf
+    from .sources.ingest_router import raw_to_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def build(batches):
+        for b in batches:
+            payloads = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                k = int(doc_id) % 3
+                if k == 0:
+                    payloads.append(make_simple_pdf([[text]]))
+                elif k == 1:
+                    payloads.append(
+                        ("<html><head><title>t</title></head><body>"
+                         f"<p>{text}</p></body></html>").encode())
+                else:
+                    payloads.append(text.encode())
+            yield pd.DataFrame({"doc_id": b["doc_id"].astype(str),
+                                "payload": payloads})
+
+    raw = docs.mapInPandas(build, schema="doc_id string, payload binary")
+    routed = raw_to_spans(raw)
+    return routed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "format",
+        F.array_join(
+            F.transform(F.col("spans"), lambda s: s["text"]), "\n"
+        ).alias("text"),
+    )

@@ -1,0 +1,94 @@
+"""Unified raw-document ingestion: one entry point for a mixed crawl.
+
+Real corpora arrive as a bag of bytes — PDFs, HTML pages, plain text,
+and junk interleaved in one table. ``raw_to_spans`` sniffs each
+payload's format from magic bytes and routes it to the right parser
+(``functions/pdf_text``, ``functions/html_extract``, UTF-8 decode),
+emitting the INPUT_SCHEMA span shape plus a ``format`` column, so one
+map-only stage turns any crawl dump into the extraction pipeline's
+input. Undecodable payloads yield empty spans with
+``format='unknown'`` — the row survives for accounting, matching the
+failure-isolation contract of the extraction job (P2).
+
+Scale shape: identical to ``pdf_to_spans`` — map-only mapInPandas, no
+shuffle, payload crosses into Python once.
+"""
+
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..functions.html_extract import extract_main_text
+from ..functions.pdf_text import count_pdf_images, extract_pdf_page_texts
+from ..schema import INPUT_SPAN
+
+ROUTED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(INPUT_SPAN), False),
+    ]
+)
+
+
+def sniff_format(data: bytes) -> str:
+    """'pdf' | 'html' | 'text' | 'unknown' from leading bytes."""
+    if not data:
+        return "unknown"
+    if data.startswith(b"%PDF"):
+        return "pdf"
+    head = data[:2048].lstrip()
+    low = head[:256].lower()
+    if low.startswith(b"<!doctype") or low.startswith(b"<html") or (
+            head.startswith(b"<") and b">" in head):
+        return "html"
+    try:
+        data.decode("utf-8")
+        return "text"
+    except UnicodeDecodeError:
+        return "unknown"
+
+
+def _spans_for(doc_id: str, data: bytes, fmt: str) -> List[dict]:
+    if fmt == "pdf":
+        pages = extract_pdf_page_texts(data)
+        spans = [
+            {"kind": "text", "text": p, "media_ref": None, "offset": k}
+            for k, p in enumerate(pages)
+        ]
+        for m in range(count_pdf_images(data)):
+            spans.append({"kind": "media", "text": None,
+                          "media_ref": f"pdfimg://{doc_id}/{m}",
+                          "offset": len(pages) + m})
+        return spans
+    if fmt == "html":
+        text = extract_main_text(data.decode("utf-8", "replace"))
+        if not text:
+            return []
+        return [{"kind": "text", "text": text, "media_ref": None,
+                 "offset": 0}]
+    if fmt == "text":
+        return [{"kind": "text", "text": data.decode("utf-8"),
+                 "media_ref": None, "offset": 0}]
+    return []
+
+
+def raw_to_spans(raw: DataFrame, payload_col: str = "payload",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload:binary) → (doc_id, format, spans)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, fmts, spans = [], [], []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                fmt = sniff_format(data)
+                ids.append(str(doc_id))
+                fmts.append(fmt)
+                spans.append(_spans_for(str(doc_id), data, fmt))
+            yield pd.DataFrame(
+                {"doc_id": ids, "format": fmts, "spans": spans})
+
+    return raw.mapInPandas(run, schema=ROUTED_SCHEMA)
