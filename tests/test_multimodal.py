@@ -57,7 +57,40 @@ def test_gif_header_decode():
     assert decode_image_header(b"GIF89a\x01") is None
 
 
-def test_feature_extraction_decodes_image_headers(media):
+def test_wav_header_decode():
+    from zzzarchived_arxiv_fulltext_spark.operators.multimodal import (
+        decode_audio_header,
+        wav_header,
+    )
+
+    hdr = decode_audio_header(wav_header(2, 44100) + b"datatrailing")
+    assert hdr == {"channels": 2, "sample_rate": 44100, "bit_depth": 16}
+    # a JUNK chunk before fmt is walked over (word-aligned)
+    wav = (b"RIFF" + (99).to_bytes(4, "little") + b"WAVE"
+           + b"JUNK" + (3).to_bytes(4, "little") + b"abc\x00"
+           + wav_header(1, 8000)[12:])
+    assert decode_audio_header(wav)["sample_rate"] == 8000
+    assert decode_audio_header(b"RIFF\x00\x00\x00\x00AVI ") is None
+    assert decode_audio_header(b"not riff") is None
+
+
+def test_mp4_header_decode():
+    from zzzarchived_arxiv_fulltext_spark.operators.multimodal import (
+        decode_video_header,
+        mp4_header,
+    )
+
+    hdr = decode_video_header(mp4_header(5500) + b"trailing junk")
+    assert hdr["duration_ms"] == 5500 and hdr["timescale"] == 1000
+    # other timescales round through correctly
+    assert decode_video_header(mp4_header(1234, timescale=90000))[
+        "duration_ms"] == 1234
+    assert decode_video_header(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00") \
+        is None  # no moov
+    assert decode_video_header(b"junk") is None
+
+
+def test_feature_extraction_decodes_all_headers(media):
     rows = extract_media_features(media).collect()
     assert len(rows) == 30
     images = [r for r in rows if r["media_type"] == "image"]
@@ -68,9 +101,22 @@ def test_feature_extraction_decodes_image_headers(media):
         assert (r["width"], r["height"]) in (
             (640, 480), (800, 600), (1024, 768), (1280, 720))
         assert r["bit_depth"] in (8, 16)
-    others = [r for r in rows if r["media_type"] != "image"]
-    assert others and all(r["decode_status"] == "fake_decode" for r in others)
-    assert all(r["width"] is None for r in others)
+        assert r["channels"] is None and r["duration_ms"] is None
+    audio = [r for r in rows if r["media_type"] == "audio"]
+    assert audio
+    for r in audio:
+        assert r["decode_status"] == "decoded"
+        assert r["sniffed_format"] == "riff"
+        assert r["channels"] in (1, 2)
+        assert r["sample_rate"] in (8000, 16000, 44100, 48000)
+        assert r["bit_depth"] == 16 and r["width"] is None
+    video = [r for r in rows if r["media_type"] == "video"]
+    assert video
+    for r in video:
+        assert r["decode_status"] == "decoded"
+        assert r["sniffed_format"] == "mp4ish"
+        assert r["duration_ms"] >= 1000 and r["duration_ms"] % 500 == 0
+        assert r["width"] is None and r["channels"] is None
     assert all(len(r["feature"]) == 16 for r in rows)
     assert all(r["n_bytes"] > 0 for r in rows)
     # deterministic: same payload → same feature

@@ -5,12 +5,15 @@ typed metadata struct; decode / feature-extraction / resize /
 frame-sampling run as Arrow-batched ``mapInPandas`` stages.
 
 The header decode is REAL: PNG IHDR / JPEG SOF / GIF logical-screen
-parsing in pure Python (no pixel libraries needed) yields width,
-height and bit depth for image payloads. Only the pixel/sample math
-(full raster decode) is out of scope for this container — the feature
-vector is a deterministic md5-derived stand-in for an embedding, with
-an engine-portable definition (hash of the payload's lowercase hex
-encoding) so DuckDB oracles can reproduce it byte-for-byte.
+parsing for images, RIFF/WAVE ``fmt `` chunk walking for audio
+(channels, sample rate, bits per sample), and MP4 box walking
+(``ftyp`` brand + ``moov/mvhd`` timescale/duration) for video — all
+pure Python, no media libraries needed. Only the pixel/sample math
+(full raster/waveform decode) is out of scope for this container —
+the feature vector is a deterministic md5-derived stand-in for an
+embedding, with an engine-portable definition (hash of the payload's
+lowercase hex encoding) so DuckDB oracles can reproduce it
+byte-for-byte.
 """
 
 import hashlib
@@ -40,6 +43,9 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
         T.StructField("decode_status", T.StringType(), False),
     ]
@@ -130,6 +136,71 @@ def decode_image_header(payload: bytes) -> Optional[dict]:
     return None
 
 
+def decode_audio_header(payload: bytes) -> Optional[dict]:
+    """Parse (channels, sample_rate, bit_depth) from a RIFF/WAVE
+    header: walk chunks until ``fmt ``; None when not parseable."""
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            if cid == b"fmt " and pos + 24 <= len(payload):
+                return {
+                    "channels": int.from_bytes(
+                        payload[pos + 10:pos + 12], "little"),
+                    "sample_rate": int.from_bytes(
+                        payload[pos + 12:pos + 16], "little"),
+                    "bit_depth": int.from_bytes(
+                        payload[pos + 22:pos + 24], "little"),
+                }
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+    except (IndexError, ValueError):
+        return None
+    return None
+
+
+def decode_video_header(payload: bytes) -> Optional[dict]:
+    """Parse duration from an MP4: top-level box walk to ``moov``,
+    inner walk to ``mvhd`` (version 0/1); None when not parseable."""
+    def walk(data, start, end):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(data[pos:pos + 4], "big")
+            btype = data[pos + 4:pos + 8]
+            if size < 8:
+                return None
+            yield btype, pos + 8, min(pos + size, end)
+            pos += size
+
+    try:
+        for btype, body, bend in walk(payload, 0, len(payload)) or ():
+            if btype != b"moov":
+                continue
+            for itype, ibody, _ in walk(payload, body, bend) or ():
+                if itype != b"mvhd":
+                    continue
+                version = payload[ibody]
+                if version == 1:
+                    timescale = int.from_bytes(
+                        payload[ibody + 20:ibody + 24], "big")
+                    duration = int.from_bytes(
+                        payload[ibody + 24:ibody + 32], "big")
+                else:
+                    timescale = int.from_bytes(
+                        payload[ibody + 12:ibody + 16], "big")
+                    duration = int.from_bytes(
+                        payload[ibody + 16:ibody + 20], "big")
+                if not timescale:
+                    return None
+                return {"duration_ms": duration * 1000 // timescale,
+                        "timescale": timescale}
+    except (IndexError, ValueError, TypeError):
+        return None
+    return None
+
+
 def _fake_feature(payload: bytes) -> list:
     """Deterministic stand-in feature: md5-derived unit-scale floats.
 
@@ -156,19 +227,26 @@ def extract_media_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             feats, fmts, status = [], [], []
             widths, heights, depths = [], [], []
+            chans, rates, durs = [], [], []
             for payload in pdf["payload"]:
                 data = bytes(payload) if payload is not None else b""
                 fmts.append(sniff_format(data))
-                hdr = decode_image_header(data) if data else None
-                widths.append(hdr["width"] if hdr else None)
-                heights.append(hdr["height"] if hdr else None)
-                depths.append(hdr["bit_depth"] if hdr else None)
+                img = decode_image_header(data) if data else None
+                aud = decode_audio_header(data) if data else None
+                vid = decode_video_header(data) if data else None
+                widths.append(img["width"] if img else None)
+                heights.append(img["height"] if img else None)
+                depths.append((img or aud or {}).get("bit_depth"))
+                chans.append(aud["channels"] if aud else None)
+                rates.append(aud["sample_rate"] if aud else None)
+                durs.append(vid["duration_ms"] if vid else None)
                 if not data:
                     feats.append(None)
                     status.append("empty")
                 else:
                     feats.append(_fake_feature(data))
-                    status.append("decoded" if hdr else "fake_decode")
+                    status.append(
+                        "decoded" if (img or aud or vid) else "fake_decode")
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "media_ref": pdf["media_ref"],
@@ -180,6 +258,9 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 "width": pd.array(widths, dtype="Int32"),
                 "height": pd.array(heights, dtype="Int32"),
                 "bit_depth": pd.array(depths, dtype="Int32"),
+                "channels": pd.array(chans, dtype="Int32"),
+                "sample_rate": pd.array(rates, dtype="Int32"),
+                "duration_ms": pd.array(durs, dtype="Int64"),
                 "feature": feats,
                 "decode_status": status,
             })
@@ -254,28 +335,78 @@ def _image_header_for(doc_id: int) -> bytes:
     return jpeg_header(w, h)  # JPEG precision is always 8 in SOF0
 
 
+# audio sample-rate variants, indexed by (doc_id % 24) // 6
+VARIANT_RATES = (8000, 16000, 44100, 48000)
+
+
+def wav_header(channels: int, sample_rate: int,
+               bits: int = 16) -> bytes:
+    """Minimal-but-real RIFF/WAVE header with a full fmt chunk."""
+    block_align = channels * bits // 8
+    return (
+        b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")                      # PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+
+
+def mp4_header(duration_ms: int, timescale: int = 1000) -> bytes:
+    """Minimal-but-real MP4: ftyp box + moov/mvhd (version 0)."""
+    ftyp = (16).to_bytes(4, "big") + b"ftypisom" + (0).to_bytes(4, "big")
+    mvhd_body = (
+        bytes(4)                                  # version 0 + flags
+        + bytes(8)                                # ctime, mtime
+        + timescale.to_bytes(4, "big")
+        + (duration_ms * timescale // 1000).to_bytes(4, "big")
+        + bytes(108 - 8 - 4 - 8 - 8)              # rate..next_track_id
+    )
+    mvhd = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" + mvhd_body
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    return ftyp + moov
+
+
+def _audio_header_for(doc_id: int) -> bytes:
+    rate = VARIANT_RATES[(doc_id % 24) // 6]
+    channels = 1 if doc_id % 6 < 3 else 2
+    return wav_header(channels, rate)
+
+
+def _video_duration_for(doc_id: int) -> int:
+    return 1000 + (doc_id % 24) * 500
+
+
 def synth_media_table(spark, docs: DataFrame) -> DataFrame:
     """Deterministic fake media payloads for fixture docs.
 
-    ``doc_id % 3``: 0 → image (png for %6==0, jpeg otherwise, with a
-    real header from :data:`VARIANT_DIMS`), 1 → audio, 2 → video.
+    ``doc_id % 3``: 0 → image (png for %6==0, jpeg otherwise, real
+    header from :data:`VARIANT_DIMS`), 1 → audio (real RIFF/WAVE fmt
+    header, rate/channel variants), 2 → video (real MP4 ftyp+mvhd,
+    duration variants). Every payload ends with the doc_id string so
+    hashes are per-row unique.
     """
-    img_payload = F.lit(None).cast("binary")
-    for rem in (0, 6, 12, 18, 3, 9, 15, 21):
-        hdr = _image_header_for(rem)
-        img_payload = F.when(
+    payload = F.lit(None).cast("binary")
+    for rem in range(24):
+        if rem % 3 == 0:
+            hdr = _image_header_for(rem)
+        elif rem % 3 == 1:
+            hdr = _audio_header_for(rem)
+        else:
+            hdr = mp4_header(_video_duration_for(rem))
+        payload = F.when(
             F.col("doc_id") % 24 == rem,
             F.concat(F.lit(hdr),
                      F.encode(F.col("doc_id").cast("string"), "utf-8")),
-        ).otherwise(img_payload)
+        ).otherwise(payload)
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(F.lit("img://"), F.col("doc_id")).alias("media_ref"),
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video").alias("media_type"),
-        F.when(F.col("doc_id") % 3 == 0, img_payload).otherwise(
-            F.concat(F.lit(b"ID3"),
-                     F.encode(F.col("doc_id").cast("string"), "utf-8"))
-        ).alias("payload"),
+        payload.alias("payload"),
     )

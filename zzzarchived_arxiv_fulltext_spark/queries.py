@@ -1069,18 +1069,39 @@ def _media_sql() -> str:
     fake feature is md5-of-hex-of-payload, so every output column —
     including the feature digest — is SQL-expressible.
     """
-    from .operators.multimodal import VARIANT_DIMS, jpeg_header, png_header
+    from .operators.multimodal import (
+        VARIANT_DIMS,
+        VARIANT_RATES,
+        _audio_header_for,
+        _video_duration_for,
+        jpeg_header,
+        mp4_header,
+        png_header,
+    )
 
-    img, width, height, depth = [], [], [], []
-    for rem in (0, 6, 12, 18, 3, 9, 15, 21):
-        w, h, d = VARIANT_DIMS[(rem % 24) // 6]
-        hdr = png_header(w, h, d) if rem % 6 == 0 else jpeg_header(w, h)
-        bd = d if rem % 6 == 0 else 8  # JPEG SOF precision is 8
-        img.append(f"WHEN doc_id % 24 = {rem} THEN {_blob_lit(hdr)}")
-        width.append(f"WHEN doc_id % 24 = {rem} THEN {w}")
-        height.append(f"WHEN doc_id % 24 = {rem} THEN {h}")
-        depth.append(f"WHEN doc_id % 24 = {rem} THEN {bd}")
-    img_case = "CASE " + " ".join(img) + " END"
+    pay, width, height, depth = [], [], [], []
+    chans, rates, durs = [], [], []
+    for rem in range(24):
+        if rem % 3 == 0:
+            w, h, d = VARIANT_DIMS[rem // 6]
+            hdr = png_header(w, h, d) if rem % 6 == 0 else jpeg_header(w, h)
+            bd = d if rem % 6 == 0 else 8  # JPEG SOF precision is 8
+            width.append(f"WHEN doc_id % 24 = {rem} THEN {w}")
+            height.append(f"WHEN doc_id % 24 = {rem} THEN {h}")
+            depth.append(f"WHEN doc_id % 24 = {rem} THEN {bd}")
+        elif rem % 3 == 1:
+            hdr = _audio_header_for(rem)
+            depth.append(f"WHEN doc_id % 24 = {rem} THEN 16")
+            chans.append(f"WHEN doc_id % 24 = {rem} THEN "
+                         f"{1 if rem % 6 < 3 else 2}")
+            rates.append(f"WHEN doc_id % 24 = {rem} THEN "
+                         f"{VARIANT_RATES[rem // 6]}")
+        else:
+            hdr = mp4_header(_video_duration_for(rem))
+            durs.append(f"WHEN doc_id % 24 = {rem} THEN "
+                        f"{_video_duration_for(rem)}")
+        pay.append(f"WHEN doc_id % 24 = {rem} THEN {_blob_lit(hdr)}")
+    pay_case = "CASE " + " ".join(pay) + " END"
     # md5-digest bytes 0..15 as comma-joined ints == the Spark side's
     # round-trip through the float feature (exact byte recovery)
     byte_terms = ", ".join(
@@ -1090,9 +1111,7 @@ def _media_sql() -> str:
     return f"""
     WITH media AS (
       SELECT doc_id,
-             (CASE WHEN doc_id % 3 = 0 THEN {img_case}
-                   ELSE 'ID3'::BLOB END
-              || encode(doc_id::VARCHAR)) AS payload
+             ({pay_case} || encode(doc_id::VARCHAR)) AS payload
       FROM documents WHERE doc_id < 500
     ),
     hashed AS (
@@ -1105,13 +1124,16 @@ def _media_sql() -> str:
              AS media_type,
            octet_length(payload) AS n_bytes,
            CASE WHEN doc_id % 6 = 0 THEN 'png'
-                WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'mp3' END
+                WHEN doc_id % 3 = 0 THEN 'jpeg'
+                WHEN doc_id % 3 = 1 THEN 'riff' ELSE 'mp4ish' END
              AS sniffed_format,
-           CASE WHEN doc_id % 3 = 0 THEN 'decoded' ELSE 'fake_decode' END
-             AS decode_status,
+           'decoded' AS decode_status,
            CAST(CASE {' '.join(width)} ELSE -1 END AS INT) AS width,
            CAST(CASE {' '.join(height)} ELSE -1 END AS INT) AS height,
            CAST(CASE {' '.join(depth)} ELSE -1 END AS INT) AS bit_depth,
+           CAST(CASE {' '.join(chans)} ELSE -1 END AS INT) AS channels,
+           CAST(CASE {' '.join(rates)} ELSE -1 END AS INT) AS sample_rate,
+           CAST(CASE {' '.join(durs)} ELSE -1 END AS BIGINT) AS duration_ms,
            md5(concat_ws(',', {byte_terms})) AS feature_digest
     FROM hashed ORDER BY doc_id
     """
@@ -1137,6 +1159,10 @@ def q_media_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("width", F.lit(-1)).alias("width"),
         F.coalesce("height", F.lit(-1)).alias("height"),
         F.coalesce("bit_depth", F.lit(-1)).alias("bit_depth"),
+        F.coalesce("channels", F.lit(-1)).alias("channels"),
+        F.coalesce("sample_rate", F.lit(-1)).alias("sample_rate"),
+        F.coalesce("duration_ms", F.lit(-1)).cast("long")
+        .alias("duration_ms"),
         F.md5(F.concat_ws(",", byte_strs)).alias("feature_digest"),
     )
 
