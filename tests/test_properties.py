@@ -85,3 +85,94 @@ def test_psv_output_is_clean(t):
 def test_whitespace_blanking_idempotent(lines):
     once = list(blank_intra_whitespace(lines))
     assert list(blank_intra_whitespace(once)) == once
+
+
+# --- raw-bytes parser robustness: web-crawl junk must never raise -----------
+
+_raw_bytes = st.binary(max_size=800)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_raw_bytes)
+def test_pdf_parser_never_raises_on_junk(data):
+    from zzzarchived_arxiv_fulltext_spark.functions.pdf_text import (
+        count_pdf_images,
+        extract_pdf_text,
+        parse_tounicode_cmaps,
+    )
+
+    assert isinstance(extract_pdf_text(data), str)
+    assert isinstance(parse_tounicode_cmaps(data), dict)
+    assert count_pdf_images(data) >= 0
+    # parser wrapped in PDF scaffolding still never raises
+    framed = (b"1 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+              % len(data)) + data + b"\nendstream"
+    assert isinstance(extract_pdf_text(framed), str)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_raw_bytes)
+def test_media_header_decoders_never_raise(data):
+    from zzzarchived_arxiv_fulltext_spark.operators.multimodal import (
+        decode_audio_header,
+        decode_image_header,
+        decode_video_header,
+        sniff_format,
+    )
+
+    for fn in (decode_image_header, decode_audio_header,
+               decode_video_header):
+        out = fn(data)
+        assert out is None or isinstance(out, dict)
+    assert sniff_format(data) in (None, "png", "jpeg", "gif", "riff",
+                                  "pdf", "mp4ish", "mp3", "ogg", "unknown")
+
+
+@settings(max_examples=200, deadline=None)
+@given(_raw_bytes)
+def test_ingest_router_sniff_total(data):
+    from zzzarchived_arxiv_fulltext_spark.sources.ingest_router import (
+        _spans_for,
+        sniff_format,
+    )
+
+    fmt = sniff_format(data)
+    assert fmt in ("pdf", "html", "text", "unknown")
+    spans = _spans_for("x", data, fmt)
+    assert isinstance(spans, list)
+    for s in spans:
+        assert s["kind"] in ("text", "media")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=400))
+def test_html_extractor_never_raises(page):
+    from zzzarchived_arxiv_fulltext_spark.functions.html_extract import (
+        extract_main_text,
+    )
+
+    assert isinstance(extract_main_text(page), str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+               max_size=300))
+def test_winnow_families_agree_on_structure(text):
+    """Both fingerprint families produce the same COUNT shape class:
+    empty iff text shorter than k, else non-empty sorted-unique."""
+    import pandas as pd
+
+    from zzzarchived_arxiv_fulltext_spark.operators.text_metrics import (
+        WINNOW_K,
+        winnowing_fingerprint_fast_udf,
+        winnowing_fingerprint_udf,
+    )
+
+    md5_fp = winnowing_fingerprint_udf.func(pd.Series([text]))[0]
+    fast_fp = winnowing_fingerprint_fast_udf.func(pd.Series([text]))[0]
+    if len(text) < WINNOW_K:
+        assert md5_fp == [] and fast_fp == []
+    else:
+        assert md5_fp and fast_fp
+        assert len(set(md5_fp)) == len(md5_fp)
+        assert len(set(fast_fp)) == len(fast_fp)

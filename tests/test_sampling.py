@@ -148,6 +148,40 @@ def test_token_budget_shards_string_ids_match_global_order(spark):
     assert again == expected
 
 
+def test_deterministic_shuffle_is_seeded_and_stable(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    base = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    a = [r["doc_id"] for r in deterministic_shuffle(base, "s1").collect()]
+    b = [r["doc_id"] for r in
+         deterministic_shuffle(base.repartition(7), "s1").collect()]
+    c = [r["doc_id"] for r in deterministic_shuffle(base, "s2").collect()]
+    assert a == b                      # partition-stable
+    assert a != c                      # seed changes the order
+    assert sorted(a) == list(range(200))
+    assert a != list(range(200))       # actually shuffled
+
+
+def test_length_buckets_power_of_two(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        length_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "w"), (2, "w " * 7 + "w"), (3, "w " * 15 + "w"),
+         (4, "w " * 16 + "w")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["len_bucket"])
+           for r in length_buckets(docs).collect()}
+    assert got[1] == (1, 0)
+    assert got[2] == (8, 3)
+    assert got[3] == (16, 4)
+    assert got[4] == (17, 4)
+
+
 def test_token_budget_shards_plan_has_no_global_sort(spark):
     """The 10^12-row guard: no single-partition exchange anywhere in
     the sharding plan — the prefix sum is partitioned by the

@@ -195,6 +195,43 @@ def shard_by_token_budget(
     )
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    seed: str = "0",
+    key_col: str = "doc_id",
+    shuffle_col: str = "shuffle_key",
+) -> DataFrame:
+    """Seeded, engine-portable corpus shuffle for training order.
+
+    Adds a content-stable shuffle key (md5 of seed:key) and returns
+    the frame ordered by it — a distributed RANGE sort, no global
+    window, no RNG; the same seed reproduces the same order on any
+    engine, partitioning, or rerun. Different seeds give independent
+    orders (epoch reshuffling = seed bump).
+    """
+    h = F.md5(F.concat_ws(
+        ":", F.lit(str(seed)), F.col(key_col).cast("string")))
+    return df.withColumn(shuffle_col, h).orderBy(shuffle_col, key_col)
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, len_bucket): power-of-two token-length buckets.
+
+    The batching primitive for padded training: grouping same-bucket
+    documents bounds padding waste at 2x. Pure JVM projection.
+    """
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.floor(F.log2(n_tokens)).cast("int").alias("len_bucket"),
+    )
+
+
 def hash_split(
     df: DataFrame,
     weights: Dict[str, float],

@@ -2338,3 +2338,43 @@ def q_mixed_format_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("spans"), lambda s: s["text"]), "\n"
         ).alias("text"),
     )
+
+
+@_register(
+    "deterministic_shuffle",
+    """
+    SELECT doc_id, md5('ep1:' || doc_id::VARCHAR) AS shuffle_key
+    FROM documents ORDER BY shuffle_key, doc_id
+    """,
+)
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import deterministic_shuffle
+
+    return deterministic_shuffle(
+        _docs(spark, sf_dir).select("doc_id"), seed="ep1")
+
+
+@_register(
+    "length_bucket_stats",
+    """
+    WITH b AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             CAST(floor(log2(len(string_split(text, ' ')))) AS INT)
+               AS len_bucket
+      FROM documents
+    )
+    SELECT len_bucket, count(*) AS n_docs,
+           min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+    FROM b GROUP BY len_bucket ORDER BY len_bucket
+    """,
+)
+def q_length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import length_buckets
+
+    return (
+        length_buckets(_docs(spark, sf_dir))
+        .groupBy("len_bucket")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("n_tokens").alias("min_tokens"),
+             F.max("n_tokens").alias("max_tokens"))
+    )
