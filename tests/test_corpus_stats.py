@@ -107,6 +107,31 @@ def test_drop_global_boilerplate_closed_form(spark):
     assert all(v == 0 for v in kept.values())
 
 
+def test_slice_divergence_closed_form(spark):
+    import math
+
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        slice_divergence,
+    )
+
+    # slice A: all 'x'; slice B: all 'y'; corpus: half/half
+    docs = spark.createDataFrame(
+        [(1, "x x x x", "A"), (2, "y y y y", "B")],
+        ["doc_id", "text", "lang"],
+    )
+    got = {r["lang"]: r for r in slice_divergence(docs).collect()}
+    # p_slice(w)=1, p_global(w)=0.5 → KL = ln(2)
+    for s in ("A", "B"):
+        assert got[s]["n_tokens"] == 4
+        assert abs(got[s]["kl_divergence"] - round(math.log(2), 6)) < 1e-6
+
+    # identical slices diverge zero
+    same = spark.createDataFrame(
+        [(1, "x y", "A"), (2, "x y", "B")], ["doc_id", "text", "lang"])
+    assert all(r["kl_divergence"] == 0.0
+               for r in slice_divergence(same).collect())
+
+
 def test_corpus_stats_plans_have_no_single_partition_exchange(spark):
     import contextlib
     import io

@@ -126,6 +126,44 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3,
     return ranked.where(F.col("rank") <= k)
 
 
+def slice_divergence(df: DataFrame, slice_col: str = "lang",
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """KL(slice || corpus) over unigram distributions, per slice.
+
+    The training-mix drift detector: how far each corpus slice
+    (language, source, time bucket — any column) diverges from the
+    overall token distribution. Finite by construction (every slice's
+    vocabulary is a subset of the corpus vocabulary). Two map-side-
+    combinable aggregations and one broadcast join of the corpus
+    unigram table.
+    """
+    words = df.select(
+        F.col(slice_col).alias("s"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    slice_counts = words.groupBy("s", "w").agg(F.count("*").alias("c"))
+    slice_totals = slice_counts.groupBy("s").agg(
+        F.sum("c").alias("t"))
+    global_counts = slice_counts.groupBy("w").agg(
+        F.sum("c").alias("gc"))
+    global_total = global_counts.agg(F.sum("gc")).first()[0]
+    p_s = F.col("c") / F.col("t")
+    p_g = F.col("gc") / F.lit(float(global_total))
+    return (
+        slice_counts
+        .join(slice_totals, on="s")
+        .join(F.broadcast(global_counts), on="w")
+        .groupBy("s")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(p_s * F.log(p_s / p_g)), 6)
+            .alias("kl_divergence"),
+        )
+        .withColumnRenamed("s", slice_col)
+    )
+
+
 def drop_global_boilerplate(df: DataFrame, min_docs: int = 3,
                             text_col: str = "text",
                             id_col: str = "doc_id",

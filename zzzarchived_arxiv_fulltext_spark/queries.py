@@ -2378,3 +2378,28 @@ def q_length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("n_tokens").alias("min_tokens"),
              F.max("n_tokens").alias("max_tokens"))
     )
+
+
+@_register(
+    "language_slice_divergence",
+    """
+    WITH w AS (SELECT lang AS s, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    sc AS (SELECT s, w, count(*) AS c FROM w GROUP BY s, w),
+    st AS (SELECT s, sum(c) AS t FROM sc GROUP BY s),
+    gc AS (SELECT w, sum(c) AS gc FROM sc GROUP BY w),
+    gt AS (SELECT sum(gc) AS total FROM gc)
+    SELECT sc.s AS lang,
+           CAST(sum(sc.c) AS BIGINT) AS n_tokens,
+           round(sum((sc.c / st.t)
+                     * ln((sc.c / st.t)
+                          / (gc.gc / (SELECT total FROM gt)))), 6)
+             AS kl_divergence
+    FROM sc JOIN st USING (s) JOIN gc USING (w)
+    GROUP BY sc.s ORDER BY lang
+    """,
+)
+def q_language_slice_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus_stats import slice_divergence
+
+    return slice_divergence(_docs(spark, sf_dir), slice_col="lang")
