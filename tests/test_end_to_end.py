@@ -1,0 +1,82 @@
+"""The full user journey in one test: raw mixed-format bytes →
+format-sniffing router → committed extraction → language ID →
+corpus prep funnel → dedup keep-list → training shards/splits.
+
+This is the "a reference user could switch" path: every stage is the
+public operator surface, chained on its real outputs.
+"""
+
+from pyspark.sql import functions as F
+
+from zzzarchived_arxiv_fulltext_spark.functions.pdf_text import make_simple_pdf
+from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+    hash_split,
+    shard_by_token_budget,
+)
+from zzzarchived_arxiv_fulltext_spark.operators.text_metrics import language_id
+from zzzarchived_arxiv_fulltext_spark.plans.dedup_job import run_dedup
+from zzzarchived_arxiv_fulltext_spark.plans.extraction_job import run_extraction
+from zzzarchived_arxiv_fulltext_spark.sources.ingest_router import raw_to_spans
+from zzzarchived_arxiv_fulltext_spark.sources.tables import SnapshotTable
+
+_EN = ("the quick brown fox jumps over the lazy dog and the cat that "
+       "is watching from the windowsill of the old house in the town")
+_DE = ("der schnelle braune fuchs springt und der faule hund schaut "
+       "nicht zu weil der hund ist zu muede und der tag ist lang")
+
+
+def test_full_pipeline_end_to_end(spark, tmp_path):
+    # -- stage 0: a raw crawl dump (PDF, HTML, plain text, junk, dups)
+    rows = [
+        ("pdf-1", make_simple_pdf([[_EN]])),
+        ("html-1", f"<html><body><p>{_EN} again</p></body></html>".encode()),
+        ("txt-1", _EN.encode()),                     # exact dup of pdf-1's text
+        ("txt-2", (_DE + " tag").encode()),          # German
+        ("junk-1", b"\xff\xfe\x00\x01\x80garbage"),  # undecodable
+    ]
+    raw = spark.createDataFrame(rows, "doc_id string, payload binary")
+
+    # -- stage 1: route to spans, extract, commit
+    out = SnapshotTable(str(tmp_path / "extracted"))
+    lineage = SnapshotTable(str(tmp_path / "lineage"))
+    spans = raw_to_spans(raw).drop("format")
+    snap = run_extraction(spark, spans, out, lineage, parallelism=2)
+    assert snap == 1
+
+    extracted = out.read(spark)
+    assert extracted.count() == 5  # junk-1 survives as a row ...
+    docs = (extracted
+            .where("status = 'succeeded' AND chars_extracted > 0")
+            .select("doc_id", F.col("plain_text").alias("text")))
+    assert docs.count() == 4  # ... but carries no text downstream
+
+    # -- stage 2: language ID becomes the corpus lang column
+    langs = language_id(docs).withColumnRenamed("predicted_lang", "lang")
+    corpus = docs.join(langs.select("doc_id", "lang"), on="doc_id")
+    by_lang = {r["doc_id"]: r["lang"] for r in corpus.collect()}
+    assert by_lang["txt-2"] == "de"
+    assert by_lang["pdf-1"] == "en"
+
+    # -- stage 3: dedup pairs + keep-list on the extracted corpus
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+    keep_t = SnapshotTable(str(tmp_path / "keep"))
+    run_dedup(spark, corpus, pairs_t, keep_t, threshold=0.5)
+    keep = {r["id"]: r["keep"] for r in keep_t.read(spark).collect()}
+    # pdf-1/txt-1 are exact dups and html-1 a near-dup of the same
+    # text: the whole English cluster keeps exactly ONE representative
+    cluster = ["html-1", "pdf-1", "txt-1"]
+    assert sum(keep[i] for i in cluster) == 1
+    assert keep["txt-2"]  # the German doc is its own cluster
+
+    kept_ids = [i for i, k in keep.items() if k]
+    kept = corpus.join(
+        spark.createDataFrame([(i,) for i in kept_ids], ["doc_id"]),
+        on="doc_id", how="left_semi")
+
+    # -- stage 4: training splits + token-budget shards
+    final = hash_split(shard_by_token_budget(kept, budget_tokens=40),
+                       {"train": 0.8, "val": 0.2})
+    rows = final.collect()
+    assert {r["split"] for r in rows} <= {"train", "val"}
+    assert all(r["shard"] >= 0 and r["n_tokens"] > 0 for r in rows)
+    assert len(rows) == len(kept_ids)
