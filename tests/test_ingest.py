@@ -259,6 +259,21 @@ def test_pdf_bfrange_cap_and_garbage_cmaps():
     assert parse_tounicode_cmaps(pdf2) == {}
 
 
+def test_pdf_inline_images_skipped():
+    # BI..ID..EI binary sample data must not be tokenized — it even
+    # contains a fake (x) Tj here
+    raw = (b"BT (before) Tj ET "
+           b"BI /W 2 /H 2 /BPC 8 /CS /G ID \xff\x00(x) Tj\x81\x02 EI "
+           b"BT (after) Tj ET")
+    pdf = b"1 0 obj\n<< /Length %d >>\nstream\n%s\nendstream" % (len(raw), raw)
+    assert extract_pdf_text(pdf) == "before\nafter"
+    # unterminated inline image: rest of stream skipped, no crash
+    raw2 = b"BT (kept) Tj ET BI /W 1 ID \x00\x01"
+    pdf2 = b"1 0 obj\n<< /Length %d >>\nstream\n%s\nendstream" % (
+        len(raw2), raw2)
+    assert extract_pdf_text(pdf2) == "kept"
+
+
 def test_pdf_opaque_and_unknown_filters_skipped():
     jpeg = b"\xff\xd8\xff\xe0BT (not text) Tj ET\xff\xd9"
     assert extract_pdf_text(_one_obj_pdf(jpeg, b"/DCTDecode")) == ""

@@ -89,6 +89,14 @@ def test_cross_fingerprint_overlap_flags_planted_leaks(spark):
     assert {(r["doc_id"], r["benchmark_id"]) for r in got} == {("c1", "b1")}
     assert all(r["shared_fingerprints"] >= 3 for r in got)
 
+    # containment: the benchmark item is a verbatim substring of c1,
+    # so (almost) all of its fingerprints are contained
+    with_c = cross_fingerprint_overlap(
+        corpus, bench, min_shared=3, with_containment=True).collect()
+    row = [r for r in with_c if r["doc_id"] == "c1"][0]
+    assert row["containment"] > 0.8
+    assert 0.0 < row["containment"] <= 1.0
+
 
 def test_rolling_fingerprint_family_matches_md5_semantics(spark):
     """The vectorized rolling-hash family must produce the SAME

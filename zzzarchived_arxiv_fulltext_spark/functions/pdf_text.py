@@ -442,6 +442,17 @@ def _stream_lines(data: bytes, cmap: Optional[dict] = None) -> List[str]:
                 continue
             op = m.group()
             i = m.end()
+            if op == b"BI":
+                # inline image: skip to the EI delimiter — the binary
+                # sample data after ID would otherwise be tokenized as
+                # garbage operators (and can even contain 'Tj')
+                idm = re.compile(rb"\bID[ \r\n]").search(data, i)
+                j = idm.end() if idm else i
+                eim = re.compile(rb"[ \r\n\t\0]EI(?=[ \r\n\t\0]|$)").search(
+                    data, j)
+                i = eim.end() if eim else n
+                operands = []
+                continue
             if op == b"Tj":
                 show(operands[-1:])
             elif op == b"TJ":

@@ -238,6 +238,7 @@ def cross_fingerprint_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     family: str = "md5",
+    with_containment: bool = False,
 ) -> DataFrame:
     """Decontamination: corpus docs sharing fingerprints with a
     benchmark/eval set.
@@ -247,15 +248,21 @@ def cross_fingerprint_overlap(
     a benchmark document — the standard pre-training leak check. The
     benchmark side is small by nature, so its fingerprint set is
     broadcast: the corpus-side scan stays a single map pass.
+
+    ``with_containment=True`` adds ``containment`` — the fraction of
+    the BENCHMARK document's fingerprints found in the corpus doc
+    (1.0 = the eval item is fully contained; the usual drop-threshold
+    is ~0.8).
     """
     def fps(df: DataFrame) -> DataFrame:
         return document_fingerprints(df, text_col, id_col, family).select(
             F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp")
         ).distinct()
 
-    return (
+    bench_fps = fps(benchmark)
+    out = (
         fps(corpus).alias("c")
-        .join(F.broadcast(fps(benchmark).alias("b")), on="fp")
+        .join(F.broadcast(bench_fps.alias("b")), on="fp")
         .groupBy(
             F.col("c.id").alias("doc_id"),
             F.col("b.id").alias("benchmark_id"),
@@ -263,6 +270,19 @@ def cross_fingerprint_overlap(
         .agg(F.count("*").alias("shared_fingerprints"))
         .where(F.col("shared_fingerprints") >= min_shared)
     )
+    if with_containment:
+        sizes = bench_fps.groupBy("id").agg(F.count("*").alias("_nb"))
+        out = (
+            out.join(F.broadcast(sizes.withColumnRenamed(
+                "id", "benchmark_id")), on="benchmark_id")
+            .withColumn(
+                "containment",
+                F.round(F.col("shared_fingerprints") / F.col("_nb"), 6))
+            .drop("_nb")
+            .select("doc_id", "benchmark_id", "shared_fingerprints",
+                    "containment")
+        )
+    return out
 
 
 DEFAULT_MAX_FP_DOCS = 10_000

@@ -2403,3 +2403,41 @@ def q_language_slice_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.corpus_stats import slice_divergence
 
     return slice_divergence(_docs(spark, sf_dir), slice_col="lang")
+
+
+# containment variant of the decontamination check: the fraction of a
+# benchmark doc's fingerprints found in each corpus doc. The planted
+# benchmark docs are substrings of their sources, so containment ≈ 1
+# for the true pairs.
+_CONTAINMENT_ORACLE = _DECON_ORACLE.replace(
+    """    SELECT c.doc_id AS doc_id, b.doc_id AS benchmark_id,
+           count(*) AS shared_fingerprints
+    FROM fps_c c JOIN fps_b b ON c.fp = b.fp
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    ORDER BY 1, 2
+    """,
+    """    , sizes AS (SELECT doc_id, count(*) AS nb FROM fps_b GROUP BY doc_id)
+    SELECT c.doc_id AS doc_id, b.doc_id AS benchmark_id,
+           count(*) AS shared_fingerprints,
+           round(count(*) / any_value(s.nb), 6) AS containment
+    FROM fps_c c JOIN fps_b b ON c.fp = b.fp
+    JOIN sizes s ON s.doc_id = b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    ORDER BY 1, 2
+    """,
+)
+assert "containment" in _CONTAINMENT_ORACLE  # the replace must hit
+
+
+@_register("benchmark_containment", _CONTAINMENT_ORACLE)
+def q_benchmark_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_metrics import cross_fingerprint_overlap
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where("doc_id < 300").select("doc_id", "text")
+    bench = docs.where("doc_id < 5").select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.substring("text", 50, 200).alias("text"),
+    )
+    return cross_fingerprint_overlap(corpus, bench, min_shared=3,
+                                     with_containment=True)
