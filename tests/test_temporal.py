@@ -78,6 +78,50 @@ def test_asof_is_one_shuffle(spark):
     assert len(exchanges) <= 2, plan  # (key,ts) agg + key window
 
 
+def test_sequence_funnel_strict_ordering(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.temporal import (
+        sequence_funnel,
+    )
+
+    rows = [
+        # u1: full ordered funnel
+        ("u1", 1, "signup"), ("u1", 2, "view"), ("u1", 3, "click"),
+        # u2: click BEFORE view → chain breaks at step 2... but a later
+        # view exists, then no click after it
+        ("u2", 1, "signup"), ("u2", 2, "click"), ("u2", 3, "view"),
+        # u3: never signed up → zero steps despite later events
+        ("u3", 1, "view"), ("u3", 2, "click"),
+        # u4: simultaneous ts does NOT count (strictly after)
+        ("u4", 1, "signup"), ("u4", 1, "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts int, event_type string")
+    got = {r["user_id"]: r for r in sequence_funnel(
+        ev, steps=("signup", "view", "click")).collect()}
+    assert got["u1"]["steps_completed"] == 3
+    assert (got["u1"]["step_1_ts"], got["u1"]["step_2_ts"],
+            got["u1"]["step_3_ts"]) == (1, 2, 3)
+    assert got["u2"]["steps_completed"] == 2
+    assert got["u2"]["step_2_ts"] == 3 and got["u2"]["step_3_ts"] is None
+    assert got["u3"]["steps_completed"] == 0
+    assert got["u4"]["steps_completed"] == 1
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sequence_funnel(ev, steps=("signup", "view", "click")).explain(
+            "formatted")
+    import re
+    # the whole k-step chain must cost ONE key shuffle
+    assert len(set(re.findall(r"Exchange hashpartitioning\([^)]*\)",
+                              buf.getvalue()))) <= 1
+
+    import pytest
+    with pytest.raises(ValueError):
+        sequence_funnel(ev, steps=())
+
+
 def test_range_join_pairs_and_bins(spark):
     from zzzarchived_arxiv_fulltext_spark.operators.temporal import range_join
 

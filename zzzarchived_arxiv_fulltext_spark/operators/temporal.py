@@ -100,6 +100,48 @@ def asof_join(
     return matched.select(*out_cols)
 
 
+def sequence_funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: per key, the first time each step was
+    reached STRICTLY AFTER the previous step.
+
+    (key, step_1_ts..step_k_ts, steps_completed): step i's timestamp
+    is the min event time of type steps[i] occurring after step i-1's
+    timestamp (NULL once the chain breaks). The classic product-
+    analytics funnel that a plain conditional aggregation cannot
+    express — implemented as k chained windows over ONE key
+    partitioning, so the whole funnel costs a single shuffle.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    w = Window.partitionBy(key)
+    out = events
+    prev: Optional[str] = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            # NULL prev (chain broken) makes ts > prev NULL → excluded
+            cond = cond & (F.col(ts) > F.col(prev))
+        col = f"_step_{i}"
+        out = out.withColumn(
+            col, F.min(F.when(cond, F.col(ts))).over(w))
+        prev = col
+    agg = out.groupBy(key).agg(*[
+        F.first(f"_step_{i}").alias(f"step_{i}_ts")
+        for i in range(1, len(steps) + 1)
+    ])
+    completed = sum(
+        F.when(F.col(f"step_{i}_ts").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    return agg.withColumn("steps_completed", completed.cast("int"))
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

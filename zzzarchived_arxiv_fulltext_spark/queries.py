@@ -2441,3 +2441,59 @@ def q_benchmark_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cross_fingerprint_overlap(corpus, bench, min_shared=3,
                                      with_containment=True)
+
+
+@_register(
+    "event_sequence_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS p1
+      FROM events
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' AND ts > p1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS p2 FROM s1
+    ),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > p2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS p3 FROM s2
+    ),
+    s4 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > p3 THEN ts END)
+                  OVER (PARTITION BY user_id) AS p4 FROM s3
+    ),
+    agg AS (
+      SELECT user_id, any_value(p1) AS p1, any_value(p2) AS p2,
+             any_value(p3) AS p3, any_value(p4) AS p4
+      FROM s4 GROUP BY user_id
+    )
+    SELECT user_id,
+           coalesce(epoch_us(p1), -1) AS step_1_us,
+           coalesce(epoch_us(p2), -1) AS step_2_us,
+           coalesce(epoch_us(p3), -1) AS step_3_us,
+           coalesce(epoch_us(p4), -1) AS step_4_us,
+           CAST((p1 IS NOT NULL)::INT + (p2 IS NOT NULL)::INT
+                + (p3 IS NOT NULL)::INT + (p4 IS NOT NULL)::INT AS INT)
+             AS steps_completed
+    FROM agg ORDER BY user_id
+    """,
+)
+def q_event_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup→view→click→purchase funnel per user — one key
+    shuffle for the whole chain."""
+    from .operators.temporal import sequence_funnel
+
+    out = sequence_funnel(
+        _events(spark, sf_dir),
+        steps=("signup", "view", "click", "purchase"),
+    )
+    cols = [F.col("user_id")]
+    for i in range(1, 5):
+        cols.append(
+            F.coalesce(
+                F.unix_micros(F.col(f"step_{i}_ts").cast("timestamp")),
+                F.lit(-1)).alias(f"step_{i}_us"))
+    cols.append("steps_completed")
+    return out.select(*cols)
