@@ -2497,3 +2497,87 @@ def q_event_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(-1)).alias(f"step_{i}_us"))
     cols.append("steps_completed")
     return out.select(*cols)
+
+
+@_register(
+    "cohort_retention",
+    """
+    WITH first_signup AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+      SELECT e.user_id,
+             CAST(date_trunc('day', f.signup_ts) AS DATE) AS cohort_day,
+             CAST(floor(date_diff('day',
+                                  CAST(date_trunc('day', f.signup_ts) AS DATE),
+                                  CAST(date_trunc('day', e.ts) AS DATE))
+                        / 7.0) AS INT) AS week_offset
+      FROM events e JOIN first_signup f USING (user_id)
+      WHERE e.ts >= f.signup_ts
+    )
+    SELECT cohort_day, week_offset,
+           count(DISTINCT user_id) AS active_users
+    FROM activity GROUP BY 1, 2
+    ORDER BY cohort_day, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-signup day, counted
+    distinct in each 7-day offset bucket of later activity."""
+    ev = _events(spark, sf_dir)
+    first_signup = (
+        ev.where("event_type = 'signup'")
+        .groupBy("user_id").agg(F.min("ts").alias("signup_ts"))
+    )
+    activity = (
+        ev.join(first_signup, on="user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .select(
+            "user_id",
+            F.date_trunc("day", "signup_ts").cast("date")
+            .alias("cohort_day"),
+            F.floor(
+                F.datediff(F.date_trunc("day", "ts").cast("date"),
+                           F.date_trunc("day", "signup_ts").cast("date"))
+                / 7).cast("int").alias("week_offset"),
+        )
+    )
+    return activity.groupBy("cohort_day", "week_offset").agg(
+        F.count_distinct("user_id").alias("active_users"))
+
+
+@_register(
+    "daily_revenue_moving_avg",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(value)::DOUBLE AS revenue
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT day, round(revenue, 6) AS revenue,
+           round(avg(revenue) OVER (
+             ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                               AND CURRENT ROW), 6) AS revenue_7d_ma
+    FROM daily ORDER BY day
+    """,
+)
+def q_daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase revenue with a 7-day trailing moving average.
+
+    The window runs over the DAILY AGGREGATE (calendar-bounded — a few
+    thousand rows regardless of corpus size), so the unpartitioned
+    range window is metadata-scale, not data-scale."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.where("event_type = 'purchase'")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum("value").cast("double").alias("revenue"))
+    )
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(day_num).rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round("revenue", 6).alias("revenue"),
+        F.round(F.avg("revenue").over(w), 6).alias("revenue_7d_ma"),
+    )
