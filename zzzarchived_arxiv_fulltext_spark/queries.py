@@ -2581,3 +2581,35 @@ def q_daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("revenue", 6).alias("revenue"),
         F.round(F.avg("revenue").over(w), 6).alias("revenue_7d_ma"),
     )
+
+
+@_register(
+    "props_json_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS k_sum,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6)
+             AS k_avg,
+           min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the events.props JSON column parsed
+    with a declared schema (from_json — Catalyst-native, pushdown-
+    friendly) and aggregated per event type."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    ev = _events(spark, sf_dir).withColumn(
+        "k", F.from_json("props", schema)["k"])
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.round(F.avg("k"), 6).alias("k_avg"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
