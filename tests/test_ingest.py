@@ -378,6 +378,30 @@ def test_raw_to_spans_routes_mixed_corpus(spark):
     assert out["x1"]["chars_extracted"] == 0
 
 
+def test_read_raw_dir_binary_file_source(spark, tmp_path):
+    from zzzarchived_arxiv_fulltext_spark.sources.ingest_router import (
+        raw_to_spans,
+        read_raw_dir,
+    )
+
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.pdf").write_bytes(make_simple_pdf([["from disk"]]))
+    (tmp_path / "sub" / "b.html").write_bytes(
+        b"<html><body><p>html file body content</p></body></html>")
+    (tmp_path / "c.txt").write_text("plain file text")
+    raw = read_raw_dir(spark, str(tmp_path))
+    assert raw.count() == 3
+    routed = {r["doc_id"].rsplit("/", 1)[-1]: r
+              for r in raw_to_spans(read_raw_dir(spark, str(tmp_path)))
+              .collect()}
+    assert routed["a.pdf"]["format"] == "pdf"
+    assert routed["a.pdf"]["spans"][0]["text"] == "from disk"
+    assert routed["b.html"]["format"] == "html"  # recursive lookup
+    assert routed["c.txt"]["spans"][0]["text"] == "plain file text"
+    # glob narrowing
+    assert read_raw_dir(spark, str(tmp_path), glob="*.pdf").count() == 1
+
+
 # -- HTML main-content extraction ---------------------------------------------
 
 _PAGE = """<html><head><title>T</title><style>p{color:red}</style></head>
@@ -407,6 +431,26 @@ def test_html_edge_cases():
     # whitespace normalization inside a block
     assert extract_main_text("<p>two\n  spaced\twords</p>") == \
         "two spaced words"
+
+
+def test_html_metadata():
+    from zzzarchived_arxiv_fulltext_spark.functions.html_extract import (
+        html_metadata,
+    )
+
+    m = html_metadata(_PAGE)
+    assert m["title"] == "T"
+    assert m["n_links"] == 5  # nav(2) + main(3)
+    assert m["lang"] is None and m["canonical"] is None
+    m2 = html_metadata(
+        "<html lang='en'><head><title> Hi \n there </title>"
+        "<link rel='canonical' href='https://e.org/x'></head>"
+        "<body><img src='a'/><img src='b'/></body></html>")
+    assert m2 == {"title": "Hi there", "lang": "en",
+                  "canonical": "https://e.org/x", "n_links": 0,
+                  "n_images": 2}
+    assert html_metadata("")["title"] == ""
+    assert html_metadata("<title>open ended") ["title"] == "open ended"
 
 
 def test_html_main_text_stage(spark):

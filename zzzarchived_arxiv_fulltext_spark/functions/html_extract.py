@@ -115,6 +115,61 @@ def extract_main_text(
     return "\n".join(out)
 
 
+class _MetaParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.title_parts: List[str] = []
+        self.in_title = 0
+        self.lang = None
+        self.canonical = None
+        self.n_links = 0
+        self.n_images = 0
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "html" and self.lang is None:
+            self.lang = a.get("lang")
+        elif tag == "title":
+            self.in_title += 1
+        elif tag == "a" and a.get("href"):
+            self.n_links += 1
+        elif tag == "img":
+            self.n_images += 1
+        elif tag == "link" and a.get("rel") == "canonical":
+            self.canonical = a.get("href")
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag == "title" and self.in_title:
+            self.in_title -= 1
+
+    def handle_data(self, data):
+        if self.in_title:
+            self.title_parts.append(data)
+
+
+def html_metadata(html: str) -> dict:
+    """Page metadata: title, declared language, canonical URL, link
+    and image counts — the crawl-frontier/quality-triage fields.
+    Malformed markup degrades to empty fields, never raises."""
+    parser = _MetaParser()
+    try:
+        parser.feed(html or "")
+        parser.close()
+    except Exception:
+        pass
+    title = _WS_RE.sub(" ", "".join(parser.title_parts)).strip()
+    return {
+        "title": title,
+        "lang": parser.lang,
+        "canonical": parser.canonical,
+        "n_links": parser.n_links,
+        "n_images": parser.n_images,
+    }
+
+
 def link_density(html: str) -> float:
     """Whole-document anchor-chars / text-chars (corpus triage stat)."""
     parser = _MainTextParser()

@@ -2613,3 +2613,47 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("k_min"),
         F.max("k").alias("k_max"),
     )
+
+
+@_register(
+    "html_metadata_extraction",
+    """
+    SELECT doc_id,
+           'doc ' || doc_id AS title,
+           lang,
+           'https://example.org/' || doc_id AS canonical,
+           2 AS n_links,
+           1 AS n_images
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_html_metadata_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip: each document rendered as a full HTML page with
+    known metadata, parsed back by the stdlib metadata extractor."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .functions.html_extract import html_metadata
+
+    page = F.concat(
+        F.lit("<html lang=\""), F.col("lang"),
+        F.lit("\"><head><title>doc "), F.col("doc_id").cast("string"),
+        F.lit("</title><link rel=\"canonical\" href="
+              "\"https://example.org/"), F.col("doc_id").cast("string"),
+        F.lit("\"></head><body><p>"), F.col("text"),
+        F.lit("</p><a href=\"/a\">one</a><a href=\"/b\">two</a>"
+              "<img src=\"x.png\"/></body></html>"),
+    )
+
+    @pandas_udf("title string, lang string, canonical string, "
+                "n_links int, n_images int")
+    def meta_udf(pages: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([html_metadata(p) for p in pages])[
+            ["title", "lang", "canonical", "n_links", "n_images"]]
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", meta_udf(page).alias("m"))
+        .select("doc_id", "m.title", "m.lang", "m.canonical",
+                "m.n_links", "m.n_images")
+    )

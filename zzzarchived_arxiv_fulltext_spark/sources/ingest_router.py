@@ -75,6 +75,30 @@ def _spans_for(doc_id: str, data: bytes, fmt: str) -> List[dict]:
     return []
 
 
+def read_raw_dir(spark, path: str, glob: str = "*",
+                 recursive: bool = True) -> DataFrame:
+    """A directory of raw files on disk/object storage → (doc_id,
+    payload) rows, via Spark's ``binaryFile`` source.
+
+    The from-disk twin of the reference's filesystem walk
+    (``extractor/fulltext/fulltext.py:136-178``): doc_id is the file
+    path, payload the bytes. binaryFile is split-per-file and predicate
+    -prunes on path/length/modificationTime, so a 10^9-file bucket
+    scans in parallel with no driver-side listing loop. Chain into
+    :func:`raw_to_spans` for the span table.
+    """
+    from pyspark.sql import functions as F  # noqa: WPS433 (local, thin)
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+        .select(F.col("path").alias("doc_id"),
+                F.col("content").alias("payload"))
+    )
+
+
 def raw_to_spans(raw: DataFrame, payload_col: str = "payload",
                  id_col: str = "doc_id") -> DataFrame:
     """(doc_id, payload:binary) → (doc_id, format, spans)."""
