@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 from ..functions.html_extract import extract_main_text
 from ..functions.pdf_text import count_pdf_images, extract_pdf_page_texts
 from ..schema import INPUT_SPAN
+from .warc import gunzip_members
 
 ROUTED_SCHEMA = T.StructType(
     [
@@ -108,6 +109,7 @@ def raw_to_spans(raw: DataFrame, payload_col: str = "payload",
             ids, fmts, spans = [], [], []
             for doc_id, payload in zip(batch[id_col], batch[payload_col]):
                 data = bytes(payload) if payload is not None else b""
+                data = gunzip_members(data)  # transparent gzip wrapper
                 fmt = sniff_format(data)
                 ids.append(str(doc_id))
                 fmts.append(fmt)
