@@ -1,0 +1,85 @@
+"""Incremental dedup == batch dedup, without recomputing history."""
+
+from pyspark.sql import functions as F
+
+from zzzarchived_arxiv_fulltext_spark.operators.dedup import (
+    near_duplicates_minhash,
+)
+from zzzarchived_arxiv_fulltext_spark.plans.incremental_dedup import (
+    run_dedup_incremental,
+)
+from zzzarchived_arxiv_fulltext_spark.sources.tables import SnapshotTable
+
+_WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+def _text(i: int) -> str:
+    # 16 words, deterministic, distinct per i
+    return " ".join(_WORDS[(i * 7 + k * 3) % len(_WORDS)]
+                    for k in range(16)) + f" marker{i}"
+
+
+def _frames(spark):
+    wave1 = [(i, _text(i)) for i in range(10)]
+    wave1[5] = (5, _text(3))                       # exact dup inside wave1
+    wave2 = [
+        (10, _text(2)),                            # cross-wave exact dup
+        (11, _text(4) + " extra tail words here"),  # cross-wave near dup
+        (12, _text(12)), (13, _text(13)),
+    ]
+    schema = "doc_id long, text string"
+    return (spark.createDataFrame(wave1, schema),
+            spark.createDataFrame(wave2, schema))
+
+
+def _pairs(df) -> set:
+    return {(r["id_a"], r["id_b"], round(r["jaccard"], 6))
+            for r in df.collect()}
+
+
+def test_incremental_matches_batch(spark, tmp_path):
+    w1, w2 = _frames(spark)
+    full = w1.unionByName(w2)
+    batch = _pairs(near_duplicates_minhash(full, threshold=0.5))
+    assert batch  # the planted dups are found at all
+
+    buckets = SnapshotTable(str(tmp_path / "buckets"))
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+
+    inc1 = _pairs(run_dedup_incremental(
+        spark, w1, corpus=w1, bucket_table=buckets,
+        pairs_table=pairs_t, threshold=0.5))
+    # first increment == batch over wave 1 only
+    assert inc1 == _pairs(near_duplicates_minhash(w1, threshold=0.5))
+
+    inc2 = _pairs(run_dedup_incremental(
+        spark, w2, corpus=full, bucket_table=buckets,
+        pairs_table=pairs_t, threshold=0.5))
+    # cross-wave dups found WITHOUT re-signing wave 1
+    assert (2, 10, 1.0) in inc2
+
+    assert inc1 | inc2 == batch
+    # committed pair history equals the batch result too
+    assert _pairs(pairs_t.read(spark)) == batch
+    # the bucket index grew by exactly the delta docs each time
+    per_doc_rows = 4  # bands
+    assert buckets.read(spark).count() == (10 + 4) * per_doc_rows
+
+
+def test_incremental_second_run_reads_only_bucket_index(spark, tmp_path):
+    """The history side of the candidate join is the bucket INDEX —
+    historical text is touched only for verified candidate ids."""
+    w1, w2 = _frames(spark)
+    buckets = SnapshotTable(str(tmp_path / "buckets"))
+    run_dedup_incremental(spark, w1, corpus=w1, bucket_table=buckets,
+                          threshold=0.5)
+
+    # corpus lookups during increment 2 are satisfied by a frame that
+    # ONLY contains the candidate ids — anything else would fail fast
+    candidates_only = w1.where(F.col("doc_id").isin(2, 4))
+    out = run_dedup_incremental(
+        spark, w2, corpus=candidates_only, bucket_table=buckets,
+        threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (2, 10) in got and (4, 11) in got
