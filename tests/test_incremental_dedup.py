@@ -67,6 +67,35 @@ def test_incremental_matches_batch(spark, tmp_path):
     assert buckets.read(spark).count() == (10 + 4) * per_doc_rows
 
 
+def test_streaming_near_dedup_service(spark, tmp_path):
+    from zzzarchived_arxiv_fulltext_spark.streaming.stream_dedup import (
+        run_streaming_near_dedup,
+    )
+
+    w1, w2 = _frames(spark)
+    landing = str(tmp_path / "landing")
+    corpus_t = SnapshotTable(str(tmp_path / "corpus"))
+    buckets_t = SnapshotTable(str(tmp_path / "buckets"))
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+
+    w1.coalesce(1).write.mode("append").parquet(landing)
+    run_streaming_near_dedup(
+        spark, landing, str(tmp_path / "ckpt"), corpus_t, buckets_t,
+        pairs_t, threshold=0.5)
+    assert corpus_t.read(spark).count() == 10
+
+    w2.coalesce(1).write.mode("append").parquet(landing)
+    run_streaming_near_dedup(
+        spark, landing, str(tmp_path / "ckpt"), corpus_t, buckets_t,
+        pairs_t, threshold=0.5)
+    assert corpus_t.read(spark).count() == 14
+
+    # the committed pair history equals a batch run over everything
+    batch = _pairs(near_duplicates_minhash(w1.unionByName(w2),
+                                           threshold=0.5))
+    assert _pairs(pairs_t.read(spark)) == batch
+
+
 def test_incremental_second_run_reads_only_bucket_index(spark, tmp_path):
     """The history side of the candidate join is the bucket INDEX —
     historical text is touched only for verified candidate ids."""

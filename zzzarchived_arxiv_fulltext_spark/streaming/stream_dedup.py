@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schema import INPUT_SCHEMA
+from ..sources.tables import SnapshotTable
 
 
 def dedup_stream(stream_df: DataFrame, text_col: str = "text",
@@ -55,6 +56,60 @@ def run_streaming_dedup(
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
+    )
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.start()
+
+
+def run_streaming_near_dedup(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    corpus_table: SnapshotTable,
+    bucket_table: SnapshotTable,
+    pairs_table: SnapshotTable,
+    schema: str = "doc_id long, text string",
+    threshold: float = 0.7,
+    available_now: bool = True,
+):
+    """Standing NEAR-duplicate service: each micro-batch of documents
+    is deduped against all previously seen documents via the committed
+    bucket index (``plans/incremental_dedup``), then appended to the
+    corpus — so detection cost per batch is O(batch + candidates),
+    never O(history). Restarts resume from the stream checkpoint and
+    the committed tables together.
+    """
+    from ..plans.incremental_dedup import run_dedup_incremental
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(landing_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        history = (
+            corpus_table.read(spark)
+            if corpus_table.snapshots() else batch_df.limit(0)
+        )
+        run_dedup_incremental(
+            spark, batch_df,
+            corpus=history.unionByName(batch_df),
+            bucket_table=bucket_table,
+            pairs_table=pairs_table,
+            threshold=threshold,
+        )
+        corpus_table.append(batch_df)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
         query = writer.trigger(availableNow=True).start()
