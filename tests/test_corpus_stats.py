@@ -107,6 +107,37 @@ def test_drop_global_boilerplate_closed_form(spark):
     assert all(v == 0 for v in kept.values())
 
 
+def test_bigram_surprisal_detects_word_order(spark):
+    import math
+
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        bigram_surprisal,
+    )
+
+    # doc 1/2 repeat the canonical order; doc 3 shuffles the SAME
+    # vocabulary — unigram stats identical, bigram surprisal higher
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"),
+         (2, "a b c a b c a b c"),
+         (3, "c a c b a a b c b")],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r for r in bigram_surprisal(docs).collect()}
+    assert got[1]["n_bigrams"] == 8
+    assert got[3]["mean_bigram_surprisal"] > got[1]["mean_bigram_surprisal"]
+
+    # closed form for a deterministic corpus: single doc "x y x y":
+    # bigrams xy, yx, xy → p(y|x)=1, p(x|y)=1 → surprisal 0
+    single = spark.createDataFrame([(1, "x y x y")], ["doc_id", "text"])
+    row = bigram_surprisal(single).collect()[0]
+    assert row["mean_bigram_surprisal"] == 0.0 and row["n_bigrams"] == 3
+    assert math.isfinite(row["mean_bigram_surprisal"])
+
+    # one-word docs are excluded (no bigrams)
+    tiny = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+    assert bigram_surprisal(tiny).count() == 0
+
+
 def test_slice_divergence_closed_form(spark):
     import math
 

@@ -164,6 +164,43 @@ def slice_divergence(df: DataFrame, slice_col: str = "lang",
     )
 
 
+def bigram_surprisal(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Mean bigram CONDITIONAL surprisal per document:
+    -(1/m) * sum(ln(c(w_prev w) / c(w_prev))) over adjacent pairs,
+    with counts from the corpus itself — the word-order-aware upgrade
+    of :func:`unigram_surprisal` (a unigram model cannot tell shuffled
+    text from prose; this can). Corpus bigram/unigram tables are
+    map-side-combined counts broadcast onto the exploded pairs.
+    """
+    ws = F.split(F.col(text_col), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - 2, F.lit(0))),
+        lambda k: F.struct(
+            F.element_at(ws, k + 1).alias("w1"),
+            F.element_at(ws, k + 2).alias("w2"),
+        ),
+    )
+    exploded = (
+        df.where(F.size(ws) >= 2)
+        .select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
+        .select("id", "p.w1", "p.w2")
+    )
+    bigrams = exploded.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    unigrams = bigrams.groupBy("w1").agg(F.sum("bc").alias("uc"))
+    return (
+        exploded
+        .join(F.broadcast(bigrams), on=["w1", "w2"])
+        .join(F.broadcast(unigrams), on="w1")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("bc") / F.col("uc"))), 6)
+            .alias("mean_bigram_surprisal"),
+        )
+    )
+
+
 def drop_global_boilerplate(df: DataFrame, min_docs: int = 3,
                             text_col: str = "text",
                             id_col: str = "doc_id",

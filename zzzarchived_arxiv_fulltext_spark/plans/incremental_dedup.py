@@ -15,6 +15,12 @@ BUCKET TABLE as a committed snapshot table and, per increment:
 
 Cost per increment ≈ O(|delta| + |candidates|); history is touched
 only through its bucket index and the candidate row lookups.
+
+Delivery contract: at-least-once per delta — re-running the same
+delta re-appends its bucket rows (candidates are deduplicated, so
+pairs stay correct, but the index gains duplicate rows). Drive
+increments from snapshot deltas with a consumed position (the
+``run_extraction_incremental`` pattern) for exactly-once.
 """
 
 from typing import Optional

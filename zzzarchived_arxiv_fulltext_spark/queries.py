@@ -2657,3 +2657,27 @@ def q_html_metadata_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "m.title", "m.lang", "m.canonical",
                 "m.n_links", "m.n_images")
     )
+
+
+@_register(
+    "bigram_surprisal",
+    """
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    e AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM s, UNNEST(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    b AS (SELECT w1, w2, count(*) AS bc FROM e GROUP BY w1, w2),
+    u AS (SELECT w1, sum(bc) AS uc FROM b GROUP BY w1)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(-ln(b.bc / u.uc)), 6) AS mean_bigram_surprisal
+    FROM e JOIN b USING (w1, w2) JOIN u USING (w1)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus_stats import bigram_surprisal
+
+    return bigram_surprisal(_docs(spark, sf_dir)).withColumnRenamed(
+        "id", "doc_id")
