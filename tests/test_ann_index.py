@@ -35,6 +35,13 @@ def test_committed_index_matches_one_shot_ann(spark, tmp_path):
     assert got == want and got
 
 
+def test_query_before_any_build_is_empty(spark, tmp_path):
+    idx = SnapshotTable(str(tmp_path / "idx"))
+    out = query_ann_index(spark, _vectors(spark, 0, 2), idx,
+                          _vectors(spark, 0, 10), k=3, **_PARAMS)
+    assert out.count() == 0
+
+
 def test_index_grows_incrementally(spark, tmp_path):
     w1 = _vectors(spark, 0, 40)
     w2 = _vectors(spark, 40, 60)

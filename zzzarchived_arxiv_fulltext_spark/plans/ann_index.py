@@ -21,10 +21,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pyspark.sql import types as T
+
 from ..operators.similarity import _srp_buckets_udf, cosine
 from ..sources.tables import SnapshotTable
 
-INDEX_SCHEMA = "vec_id long, tbl int, bucket int"
+INDEX_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType(), False),
+    T.StructField("tbl", T.IntegerType(), False),
+    T.StructField("bucket", T.IntegerType(), False),
+])
 
 
 def _with_buckets(df: DataFrame, vec: str, tables: int, planes: int,
@@ -81,7 +87,7 @@ def query_ann_index(
             F.col(vec_col).cast("array<double>").alias("qvec")),
         "qvec", tables, planes, dim,
     )
-    idx = index_table.read(spark)
+    idx = index_table.read(spark, INDEX_SCHEMA)  # empty index → no rows
     candidates = (
         idx.join(F.broadcast(q), on=["tbl", "bucket"])
         .where(F.col("query_id") != F.col("vec_id"))
