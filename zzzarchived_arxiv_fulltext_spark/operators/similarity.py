@@ -16,7 +16,7 @@ full corpus; it exists to verify the ANN path's recall on samples.
 
 import hashlib
 import math
-from typing import List, Optional
+from typing import List
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
