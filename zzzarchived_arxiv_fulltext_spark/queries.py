@@ -2516,7 +2516,7 @@ def q_event_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events e JOIN first_signup f USING (user_id)
       WHERE e.ts >= f.signup_ts
     )
-    SELECT cohort_day, week_offset,
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, week_offset,
            count(DISTINCT user_id) AS active_users
     FROM activity GROUP BY 1, 2
     ORDER BY cohort_day, week_offset
@@ -2543,8 +2543,13 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 7).cast("int").alias("week_offset"),
         )
     )
-    return activity.groupBy("cohort_day", "week_offset").agg(
-        F.count_distinct("user_id").alias("active_users"))
+    return (
+        activity.groupBy("cohort_day", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        # string, not DATE: temporal driver-output columns have
+        # canonicalizer hazards (see CLAUDE.md oracle notes)
+        .withColumn("cohort_day", F.col("cohort_day").cast("string"))
+    )
 
 
 @_register(
@@ -2555,7 +2560,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(value)::DOUBLE AS revenue
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     )
-    SELECT day, round(revenue, 6) AS revenue,
+    SELECT CAST(day AS VARCHAR) AS day, round(revenue, 6) AS revenue,
            round(avg(revenue) OVER (
              ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
                                AND CURRENT ROW), 6) AS revenue_7d_ma
@@ -2577,7 +2582,7 @@ def q_daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_num = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
     w = Window.orderBy(day_num).rangeBetween(-6, 0)
     return daily.select(
-        "day",
+        F.col("day").cast("string").alias("day"),  # scalar-safe output
         F.round("revenue", 6).alias("revenue"),
         F.round(F.avg("revenue").over(w), 6).alias("revenue_7d_ma"),
     )
