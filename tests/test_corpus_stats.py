@@ -167,10 +167,18 @@ def test_corpus_stats_plans_have_no_single_partition_exchange(spark):
     import contextlib
     import io
 
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        bigram_surprisal,
+        drop_global_boilerplate,
+        slice_divergence,
+    )
+
     docs = spark.createDataFrame(
-        [(i, "w x y z " * 5) for i in range(20)], ["doc_id", "text"])
+        [(i, "w x y z " * 5, "en") for i in range(20)],
+        ["doc_id", "text", "lang"])
     for out in (repetition_metrics(docs), tf_idf_top_terms(docs),
-                unigram_surprisal(docs)):
+                unigram_surprisal(docs), bigram_surprisal(docs),
+                slice_divergence(docs), drop_global_boilerplate(docs)):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             out.explain("formatted")
