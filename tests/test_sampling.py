@@ -148,6 +148,27 @@ def test_token_budget_shards_string_ids_match_global_order(spark):
     assert again == expected
 
 
+def test_token_budget_shards_numeric_nonuniform_ids(spark):
+    """Numeric path with gappy, clustered ids: result == the closed-
+    form global prefix sum."""
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        shard_by_token_budget,
+    )
+
+    ids = ([3, 4, 5] + list(range(1000, 1060)) +
+           [10**9, 10**9 + 7] + list(range(500000, 500020)))
+    rows = [(i, "tok " * ((i * 13) % 23 + 1)) for i in ids]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["shard"])
+           for r in shard_by_token_budget(docs, 150).collect()}
+    acc, expected = 0, set()
+    for i, text in sorted(rows):
+        n = len(text.split(" "))
+        expected.add((i, acc // 150))
+        acc += n
+    assert got == expected
+
+
 def test_deterministic_shuffle_is_seeded_and_stable(spark):
     from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
         deterministic_shuffle,

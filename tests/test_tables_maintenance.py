@@ -46,3 +46,20 @@ def test_point_retrieval(spark, tmp_path):
     assert doc["status"] in ("succeeded", "failed")
     assert isinstance(doc["spans"], list)
     assert get_document(spark, out, "no/such-doc") is None
+
+
+def test_maintain_compacts_past_budget(spark, tmp_path):
+    from zzzarchived_arxiv_fulltext_spark.sources.tables import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    for lo in range(0, 12, 3):
+        t.append(spark.range(lo, lo + 3).toDF("id"))
+    assert len(t.snapshots()) == 4
+    # within budget: no-op
+    assert t.maintain(spark, max_snapshots=4) is None
+    assert len(t.snapshots()) == 4
+    # over budget: one compacted snapshot, same rows
+    snap = t.maintain(spark, max_snapshots=3)
+    assert snap is not None and len(t.snapshots()) == 1
+    assert t.read(spark).count() == 12
+    assert {r["id"] for r in t.read(spark).collect()} == set(range(12))

@@ -207,5 +207,18 @@ class SnapshotTable:
                           ignore_errors=True)
         return snap_id
 
+    def maintain(self, spark: SparkSession, max_snapshots: int = 64,
+                 target_partitions: Optional[int] = None) -> Optional[int]:
+        """Compact when the snapshot count exceeds ``max_snapshots``.
+
+        The standing-job hygiene hook: incremental pipelines append one
+        snapshot per increment; unbounded snapshot counts degrade scan
+        planning. Returns the new snapshot id when compaction ran,
+        None when the table is within budget.
+        """
+        if len(self.snapshots()) <= max_snapshots:
+            return None
+        return self.compact(spark, target_partitions=target_partitions)
+
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
