@@ -107,6 +107,32 @@ def test_drop_global_boilerplate_closed_form(spark):
     assert all(v == 0 for v in kept.values())
 
 
+def test_percentile_ranks_match_window_semantics(spark):
+    import contextlib
+    import io
+
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        percentile_ranks,
+    )
+
+    # values with ties: percent_rank = count(x < v) / (n-1)
+    rows = [(i, v) for i, v in enumerate([10, 20, 20, 30, 40, 40, 40, 50])]
+    df = spark.createDataFrame(rows, ["doc_id", "v"])
+    got = {r["doc_id"]: r["pct_rank"]
+           for r in percentile_ranks(df, "v").collect()}
+    n = len(rows)
+    vals = [v for _, v in rows]
+    for i, v in rows:
+        assert got[i] == round(sum(x < v for x in vals) / (n - 1), 6)
+    assert got[0] == 0.0 and got[7] == 1.0
+
+    out = percentile_ranks(df, "v")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange SinglePartition" not in buf.getvalue()
+
+
 def test_bigram_surprisal_detects_word_order(spark):
     import math
 

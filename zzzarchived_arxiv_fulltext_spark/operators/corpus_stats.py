@@ -126,6 +126,41 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3,
     return ranked.where(F.col("rank") <= k)
 
 
+def percentile_ranks(df: DataFrame, value_col: str,
+                     id_col: str = "doc_id",
+                     rank_col: str = "pct_rank") -> DataFrame:
+    """Exact percent_rank of ``value_col`` for every row — WITHOUT a
+    global sort.
+
+    ``percent_rank() OVER (ORDER BY v)`` is a single-partition window
+    at corpus scale. This computes the identical value from the VALUE
+    HISTOGRAM instead: one map-side-combined groupBy(value).count()
+    (bounded by distinct values, not rows), a driver-side cumulative
+    sum over that bounded histogram, and a broadcast join back —
+    rank(v) = count(x < v) / (n - 1), exactly SQL's percent_rank with
+    min-rank tie semantics. Triggers one small aggregate action.
+    """
+    hist = (df.groupBy(F.col(value_col).alias("_v"))
+            .agg(F.count("*").alias("_c")).collect())
+    hist.sort(key=lambda r: r["_v"])
+    total = sum(r["_c"] for r in hist)
+    cdf, below = [], 0
+    for r in hist:
+        cdf.append((r["_v"], below))
+        below += r["_c"]
+    spark = df.sparkSession
+    dtype = dict(df.dtypes)[value_col]
+    cdf_df = spark.createDataFrame(cdf, f"_v {dtype}, _below long")
+    denom = float(max(total - 1, 1))
+    return (
+        df.join(F.broadcast(cdf_df),
+                on=F.col(value_col) == F.col("_v"))
+        .select(F.col(id_col), F.col(value_col),
+                F.round(F.col("_below") / F.lit(denom), 6)
+                .alias(rank_col))
+    )
+
+
 def slice_divergence(df: DataFrame, slice_col: str = "lang",
                      text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:

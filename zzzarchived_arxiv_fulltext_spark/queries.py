@@ -2686,3 +2686,20 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bigram_surprisal(_docs(spark, sf_dir)).withColumnRenamed(
         "id", "doc_id")
+
+
+@_register(
+    "length_percentile_ranks",
+    """
+    SELECT doc_id, n_chars,
+           round(percent_rank() OVER (ORDER BY n_chars), 6) AS pct_rank
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_length_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percent_rank without a global sort: value-histogram CDF
+    broadcast back onto the rows (operators/corpus_stats.py)."""
+    from .operators.corpus_stats import percentile_ranks
+
+    return percentile_ranks(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"), "n_chars")
