@@ -2703,3 +2703,45 @@ def q_length_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return percentile_ranks(
         _docs(spark, sf_dir).select("doc_id", "n_chars"), "n_chars")
+
+
+@_register(
+    "session_windows_native",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS session_end_us,
+           count(*) AS n_events
+    FROM islands GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def q_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst's native session_window (30-minute gap) vs the classic
+    gaps-and-islands SQL — the declarative twin of the custom stateful
+    sessionizer in streaming/sessionize.py."""
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("session_window")
+    )
