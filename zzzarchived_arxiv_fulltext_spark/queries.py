@@ -2745,3 +2745,20 @@ def q_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("session_window")
     )
+
+
+@_register(
+    "flatten_props_json",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events ORDER BY event_id
+    """,
+)
+def q_flatten_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-inferred JSON flattening: the props column becomes a
+    typed top-level field with no declared schema anywhere."""
+    from .operators.semistructured import flatten_json
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "props")
+    return flatten_json(ev, "props")
