@@ -2762,3 +2762,32 @@ def q_flatten_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("event_id", "event_type", "props")
     return flatten_json(ev, "props")
+
+
+@_register(
+    "user_event_pivot",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'error') AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per user, one count column per event type.
+    Explicit pivot values keep the plan a single pass (no distinct-
+    values pre-query) — the scale-correct pivot form."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+    )
