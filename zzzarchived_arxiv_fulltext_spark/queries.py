@@ -2791,3 +2791,36 @@ def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
     )
+
+
+@_register(
+    "event_grouping_sets",
+    """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(epoch_us(ts) // 3600000000, -1) AS hour_bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, epoch_us(ts) // 3600000000),
+                            (event_type), ())
+    ORDER BY event_type, hour_bucket
+    """,
+)
+def q_event_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity aggregation in ONE pass via grouping sets:
+    (type, hour), (type), and the grand total."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(3600000000)).cast("long").alias("hour_bucket"),
+    )
+    return (
+        ev.groupingSets(
+            [["event_type", "hour_bucket"], ["event_type"], []],
+            "event_type", "hour_bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("hour_bucket", F.lit(-1)).alias("hour_bucket"),
+            "n",
+        )
+    )
