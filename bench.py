@@ -132,39 +132,71 @@ def control_docs_per_sec(n: int, procs: int) -> float:
     return n / sec
 
 
-def find_regressions(query_secs: dict, calibration: float) -> dict:
-    """Diff per-query times against the latest BENCH_r{N}.json.
+BENCH_LAST = "BENCH_LAST.json"
 
-    Flags queries >20% AND >0.5s slower than the previous round (the
-    absolute floor keeps sub-second timer noise out), so round-over-
-    round judging sees regressions mechanically.
+
+def _load_baseline() -> tuple:
+    """Previous run's bench record → (doc, path-used | None).
+
+    Primary source: BENCH_LAST.json, the full JSON line this script
+    persists after every run — always parseable. Fallback: the round
+    driver's latest BENCH_r{N}.json; its ``tail`` wrapper is truncated
+    from the FRONT, so the embedded bench line is frequently cut and
+    the fallback may legitimately find nothing (the r3 vacuity bug:
+    rfind on the truncated tail returned -1 every round while the
+    result looked like "no regressions").
     """
     here = Path(__file__).resolve().parent
+    own = here / BENCH_LAST
+    if own.exists():
+        try:
+            doc = json.loads(own.read_text())
+            if isinstance(doc.get("queries"), dict):
+                return doc, str(own)
+        except (json.JSONDecodeError, OSError):
+            pass
     rounds = []
     for p in glob.glob(str(here / "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
             rounds.append((int(m.group(1)), p))
     if not rounds:
-        return {}
+        return None, None
     prev_path = max(rounds)[1]
     try:
         doc = json.loads(Path(prev_path).read_text())
     except (json.JSONDecodeError, OSError):
-        return {}
+        return None, None
     if "queries" not in doc and isinstance(doc.get("tail"), str):
         # the round driver wraps bench stdout in {"tail": ...}; the
         # bench JSON line is the last {"metric": ...} object inside
+        # (may be front-truncated away — then there is NO baseline)
         start = doc["tail"].rfind('{"metric"')
         if start < 0:
-            return {}
+            return None, None
         try:
             doc = json.loads(doc["tail"][start:].splitlines()[0])
         except json.JSONDecodeError:
-            return {}
-    prev = doc.get("queries", {})
-    if not isinstance(prev, dict):
-        return {}
+            return None, None
+    if not isinstance(doc.get("queries"), dict):
+        return None, None
+    return doc, prev_path
+
+
+def find_regressions(query_secs: dict, calibration: float) -> tuple:
+    """Diff per-query times against the last persisted bench run.
+
+    Flags queries >20% AND >0.5s slower than the previous run (the
+    absolute floor keeps sub-second timer noise out), so round-over-
+    round judging sees regressions mechanically. Returns
+    ``(regressions, baseline_path | None)`` — a None path means the
+    check was VACUOUS (no baseline found), which the emitted JSON
+    surfaces instead of masquerading as a clean run.
+    """
+    doc, prev_path = _load_baseline()
+    if doc is None:
+        return {}, None
+    prev = doc["queries"]
     # normalize for box-speed drift when both rounds are calibrated
     scale = 1.0
     prev_cal = doc.get("calibration_sec")
@@ -180,7 +212,7 @@ def find_regressions(query_secs: dict, calibration: float) -> dict:
         if now > adjusted * 1.2 and now - adjusted > 0.5:
             out[name] = {"prev": before, "prev_adjusted": round(adjusted, 3),
                          "now": now}
-    return out
+    return out, prev_path
 
 
 def main():
@@ -236,7 +268,8 @@ def main():
         except Exception as ex:  # a broken query must not hide the rest
             query_secs[name] = f"error: {ex}"
 
-    print(json.dumps({
+    regressions, baseline_path = find_regressions(query_secs, calibration)
+    record = {
         "metric": "documents_per_sec_extraction",
         "value": round(docs_per_sec, 2),
         "unit": "docs/sec",
@@ -251,8 +284,19 @@ def main():
         "box_slow": box_slow,
         "control_docs_per_sec": round(control_dps, 2),
         "spark_vs_control_ratio": round(docs_per_sec / control_dps, 3),
-        "regressions_vs_prev_round": find_regressions(query_secs, calibration),
-    }))
+        "regressions_vs_prev_round": regressions,
+        # None = the diff was vacuous (no parseable prior run found);
+        # a path = the diff genuinely ran against that baseline
+        "regression_baseline": baseline_path,
+    }
+    # persist the full record so the NEXT run (and round) has a
+    # baseline regardless of how the driver truncates bench stdout
+    try:
+        (Path(__file__).resolve().parent / BENCH_LAST).write_text(
+            json.dumps(record, indent=1) + "\n")
+    except OSError:
+        pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -101,6 +101,97 @@ def test_pdf_indirect_length_falls_back_to_lexical():
     assert extract_pdf_text(pdf) == "ind%d" % i
 
 
+def test_pdf_multidigit_indirect_length_not_truncated():
+    # Regex-backtracking regression (ADVICE r3): for '/Length 50 0 R'
+    # the (\d+) group must not backtrack to '5' and treat the digit
+    # prefix as a declared direct length — that silently truncates the
+    # stream to its first 5/12/... bytes. Both multi-digit refs must
+    # fall through to the lexical endstream slice.
+    for ref in (b"50 0 R", b"123 0 R"):
+        i, c = _compress_no_eol_tail(b"ind")
+        pdf = (b"1 0 obj\n<< /Length " + ref
+               + b" /Filter /FlateDecode >>\nstream\n" + c + b"\nendstream")
+        assert extract_pdf_text(pdf) == "ind%d" % i
+
+
+def _png_encode(rows, ft, bpp=1):
+    out, prev = [], bytes(len(rows[0]))
+    for r in rows:
+        e = bytearray()
+        for j in range(len(r)):
+            a = r[j - bpp] if j >= bpp else 0
+            b_ = prev[j]
+            c = prev[j - bpp] if j >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b_
+            elif ft == 3:
+                pred = (a + b_) >> 1
+            else:
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b_ if pb <= pc else c)
+            e.append((r[j] - pred) & 0xFF)
+        out.append(bytes([ft]) + bytes(e))
+        prev = r
+    return b"".join(out)
+
+
+def test_pdf_png_predictor_wrapped_stream_decodes():
+    # /DecodeParms /Predictor >= 10: rows are PNG-filtered with a
+    # per-row filter byte; without the undo the inflated body is
+    # byte soup. Exercise every PNG filter type end-to-end.
+    content = b"BT /F1 12 Tf (predicted text) Tj ET"
+    cols = 8
+    padded = content + b" " * ((-len(content)) % cols)
+    rows = [padded[k:k + cols] for k in range(0, len(padded), cols)]
+    for ft in (0, 1, 2, 3, 4):
+        comp = zlib.compress(_png_encode(rows, ft))
+        pdf = (b"1 0 obj\n<< /Length %d /Filter /FlateDecode "
+               b"/DecodeParms << /Predictor 15 /Columns 8 >> >>\nstream\n"
+               % len(comp) + comp + b"\nendstream")
+        assert "predicted text" in extract_pdf_text(pdf), ft
+
+
+def test_pdf_tiff_predictor_wrapped_stream_decodes():
+    content = b"BT (tiff rows) Tj ET"
+    cols = 4
+    padded = content + b" " * ((-len(content)) % cols)
+    # TIFF predictor 2: horizontal differencing within each row
+    diffed = bytearray(padded)
+    for r in range(0, len(diffed), cols):
+        for j in range(r + cols - 1, r, -1):
+            diffed[j] = (diffed[j] - diffed[j - 1]) & 0xFF
+    comp = zlib.compress(bytes(diffed))
+    pdf = (b"1 0 obj\n<< /Length %d /Filter /FlateDecode "
+           b"/DecodeParms << /Predictor 2 /Columns 4 >> >>\nstream\n"
+           % len(comp) + comp + b"\nendstream")
+    assert "tiff rows" in extract_pdf_text(pdf)
+
+
+def test_pdf_encrypted_detection():
+    from zzzarchived_arxiv_fulltext_spark.functions.pdf_text import (
+        is_encrypted,
+    )
+
+    plain = make_simple_pdf([["open text"]])
+    assert not is_encrypted(plain)
+    enc = plain + b"\ntrailer\n<< /Encrypt 7 0 R /Root 1 0 R >>\n%%EOF"
+    assert is_encrypted(enc)
+    # xref-stream PDFs carry /Encrypt in the stream dict, no 'trailer'
+    assert is_encrypted(b"%PDF-1.6\n<< /Type /XRef /Encrypt << /V 4 >> >>")
+    # page TEXT containing the token (inside a pre-trailer stream) is
+    # not a false positive once a trailer exists
+    noisy = (b"%PDF-1.4\n1 0 obj\n<< /Length 26 >>\nstream\n"
+             b"BT (/Encrypt 9 0 R) Tj ET\nendstream\nendobj\n"
+             b"trailer\n<< /Root 1 0 R >>\n%%EOF")
+    assert not is_encrypted(noisy)
+
+
 def test_pdf_wrong_declared_length_retries_lexical():
     i, c = _compress_no_eol_tail(b"salv")
     pdf = (b"1 0 obj\n<< /Length 5 /Filter /FlateDecode >>\nstream\n"
@@ -319,6 +410,30 @@ def test_pdf_to_spans_feeds_the_extraction_job(spark):
     assert out["d1"]["plain_text"] == "first page text here\nsecond page words"
     assert out["d2"]["n_media_spans"] == 1
     assert out["d3"]["chars_extracted"] == 0
+
+
+def test_pdf_to_spans_classifies_encrypted(spark):
+    # An /Encrypt-protected file: stream bodies are RC4/AES ciphered,
+    # so inflation fails and no text layer is readable. The row must
+    # surface failure_class='encrypted' instead of silently-empty
+    # spans; parseable docs carry NULL.
+    ciphered = bytes((b * 7 + 13) & 0xFF for b in range(64))
+    enc_pdf = (b"%PDF-1.6\n1 0 obj\n<< /Length " + str(len(ciphered)).encode()
+               + b" /Filter /FlateDecode >>\nstream\n" + ciphered
+               + b"\nendstream\nendobj\ntrailer\n"
+               b"<< /Encrypt 7 0 R /Root 1 0 R >>\n%%EOF")
+    rows = [
+        ("enc", enc_pdf),
+        ("ok", make_simple_pdf([["readable page"]])),
+        ("junk", b"not a pdf"),
+    ]
+    got = {r["doc_id"]: r for r in pdf_to_spans(
+        spark.createDataFrame(rows, "doc_id string, pdf binary")).collect()}
+    assert got["enc"]["failure_class"] == "encrypted"
+    assert got["enc"]["spans"] == []
+    assert got["ok"]["failure_class"] is None
+    assert [s["text"] for s in got["ok"]["spans"]] == ["readable page"]
+    assert got["junk"]["failure_class"] is None  # not encrypted, just junk
 
 
 def test_pdf_engine_gate(spark):

@@ -63,9 +63,12 @@ def iter_streams(pdf: bytes) -> Iterator[bytes]:
         # Prefer the declared /Length: binary stream data may itself
         # end in 0x0a/0x0d, which a lexical EOL-strip would corrupt.
         # `/Length 5 0 R` is an INDIRECT reference (very common in
-        # born-digital PDFs) — the lookahead rejects it so we fall to
+        # born-digital PDFs) — the lookaheads reject it so we fall to
         # the lexical endstream slice instead of truncating to 5 bytes.
-        lm = re.search(rb"/Length\s+(\d+)(?!\s*\d+\s*R)", m.group(1))
+        # (?!\d) forbids backtracking INTO the number: without it,
+        # '/Length 50 0 R' backtracks (\d+) to '5' so the indirect-ref
+        # lookahead passes and the stream is truncated to 5 bytes.
+        lm = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", m.group(1))
         declared: Optional[bytes] = None
         if lm and start + int(lm.group(1)) <= end:
             declared = pdf[start:start + int(lm.group(1))]
@@ -167,6 +170,110 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s*(?:\d+\s+\d+\s+R|<<)")
+
+
+def is_encrypted(pdf: bytes) -> bool:
+    """True when the file carries an /Encrypt dictionary.
+
+    Encrypted PDFs (even the common empty-user-password RC4/AES ones)
+    have RC4/AES-enciphered stream bodies that no stateless filter
+    chain can decode — callers should classify the document as
+    ``failure_class='encrypted'`` rather than report empty text.
+    The reference's poppler/pdfminer subprocesses decrypted these
+    (``extractor/fulltext/fulltext.py:81-109``); implementing RC4+AES
+    plus the full /ID key derivation is out of scope for the lexical
+    parser, so detection is the contract. /Encrypt lives in the
+    trailer dict (classic xref) or an xref-stream dict; to avoid
+    false positives on page TEXT containing the token, scope the scan
+    to the region after the last ``trailer`` keyword when one exists
+    (xref-stream PDFs have no ``trailer`` keyword — scan the whole
+    file for those; their streams are compressed, so the literal
+    cannot appear in stream bodies).
+    """
+    t = pdf.rfind(b"trailer")
+    region = pdf[t:] if t >= 0 else pdf
+    return _ENCRYPT_RE.search(region) is not None
+
+
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+
+
+def _undo_predictor(data: bytes, obj_dict: bytes) -> bytes:
+    """Reverse /DecodeParms predictors on a Flate/LZW-decoded body.
+
+    PNG predictors (/Predictor >= 10: per-row filter byte, then
+    None/Sub/Up/Average/Paeth per the PNG spec) and TIFF horizontal
+    differencing (/Predictor 2, 8-bit components only). Streams
+    written with a predictor are row-filtered byte soup until undone —
+    without this, predictor-wrapped content streams parse as garbage.
+    """
+    pm = _PREDICTOR_RE.search(obj_dict)
+    if not pm:
+        return data
+    predictor = int(pm.group(1))
+    if predictor < 2:
+        return data
+    cm = _COLUMNS_RE.search(obj_dict)
+    colm = _COLORS_RE.search(obj_dict)
+    bm = _BPC_RE.search(obj_dict)
+    columns = int(cm.group(1)) if cm else 1
+    colors = int(colm.group(1)) if colm else 1
+    bpc = int(bm.group(1)) if bm else 8
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if rowlen <= 0:
+        return data
+    if predictor == 2:  # TIFF horizontal differencing
+        if bpc != 8:
+            return data  # sub-byte components: pass through untouched
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(r + bpp, r + rowlen):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors: each row is (filter_type, rowlen bytes)
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i, n = 0, len(data)
+    while i < n:
+        ft = data[i]
+        i += 1
+        row = bytearray(data[i:i + rowlen])
+        i += len(row)
+        if ft == 1:  # Sub
+            for j in range(bpp, len(row)):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(len(row)):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(len(row)):
+                a = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((a + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(len(row)):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        elif ft != 0:  # corrupt filter byte → not predictor data
+            return b""
+        out += row
+        if len(row) == rowlen:
+            prev = row
+        else:  # truncated final row: pad the carry for safety
+            prev = row + bytearray(rowlen - len(row))
+    return bytes(out)
+
+
 def _apply_filters(data: bytes, obj_dict: bytes) -> bytes:
     """Run the stream's declared /Filter chain; b'' = undecodable.
 
@@ -184,7 +291,7 @@ def _apply_filters(data: bytes, obj_dict: bytes) -> bytes:
             return b""
         try:
             if name in (b"FlateDecode", b"Fl"):
-                data = zlib.decompress(data)
+                data = _undo_predictor(zlib.decompress(data), obj_dict)
             elif name in (b"ASCII85Decode", b"A85"):
                 data = _a85_decode(data)
             elif name in (b"ASCIIHexDecode", b"AHx"):
@@ -192,7 +299,7 @@ def _apply_filters(data: bytes, obj_dict: bytes) -> bytes:
             elif name in (b"RunLengthDecode", b"RL"):
                 data = _rle_decode(data)
             elif name in (b"LZWDecode", b"LZW"):
-                data = _lzw_decode(data)
+                data = _undo_predictor(_lzw_decode(data), obj_dict)
             elif name in _OPAQUE_FILTERS:
                 return b""
             elif name == b"Crypt":

@@ -880,20 +880,6 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Rows-only queries (non-SQL-expressible ops — driver records a weaker
-# check; full verification lives in pytest)
-# --------------------------------------------------------------------------
-
-
-@_register("near_duplicates_minhash_full")
-def q_near_duplicates_minhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import near_duplicates_minhash
-
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
-    return near_duplicates_minhash(docs, threshold=0.4, num_hashes=8, bands=4)
-
-
-# --------------------------------------------------------------------------
 # ANN oracles via planted exact duplicates: three copies of each query
 # vector are planted into the corpus (ids +900000/+910000/+920000).
 # Identical vectors land in identical LSH buckets / IVF clusters
@@ -1990,7 +1976,12 @@ def _near_dup_sql(threshold: float = 0.4, hashes: int = 8,
     """
 
 
-ORACLES["near_duplicates_minhash_full"] = _near_dup_sql()
+@_register("near_duplicates_minhash_full", _near_dup_sql())
+def q_near_duplicates_minhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import near_duplicates_minhash
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    return near_duplicates_minhash(docs, threshold=0.4, num_hashes=8, bands=4)
 
 
 # --------------------------------------------------------------------------
@@ -2824,3 +2815,58 @@ def q_event_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Driver-evidence scheduling.
+#
+# The correctness harness records a bounded prefix (~50 entries) of
+# this registry per round, in insertion order; with 70+ registered
+# queries, a static order would leave the tail permanently without a
+# driver-recorded row. Rotate the queries that have never (or least
+# recently) appeared in a driver CORRECTNESS_r*.json to the FRONT so
+# every operator accumulates hard driver evidence across rounds. The
+# full battery is still verified every round by tools/check_oracles.py
+# regardless of position.
+# --------------------------------------------------------------------------
+
+_DRIVER_PRIORITY = [
+    # -- new this round (round 4): never had a chance to be checked --
+    # -- never driver-checked through round 3 (VERDICT r3, wrong #1) --
+    "dedup_keep_list",
+    "repetition_metrics",
+    "dedup_doc_lines",
+    "tfidf_top_terms",
+    "unigram_surprisal",
+    "global_boilerplate_removal",
+    "mixed_format_ingestion",
+    "deterministic_shuffle",
+    "length_bucket_stats",
+    "language_slice_divergence",
+    "benchmark_containment",
+    "event_sequence_funnel",
+    "cohort_retention",
+    "daily_revenue_moving_avg",
+    "props_json_stats",
+    "html_metadata_extraction",
+    "bigram_surprisal",
+    "length_percentile_ranks",
+    "session_windows_native",
+    "flatten_props_json",
+    "user_event_pivot",
+    "event_grouping_sets",
+    # -- last driver-checked in round 2 --
+    "embedding_near_duplicates",
+]
+
+
+def _schedule_for_driver() -> None:
+    head = [n for n in _DRIVER_PRIORITY if n in QUERIES]
+    order = head + [n for n in list(QUERIES) if n not in set(head)]
+    for n in order:
+        QUERIES[n] = QUERIES.pop(n)
+        if n in ORACLES:
+            ORACLES[n] = ORACLES.pop(n)
+
+
+_schedule_for_driver()

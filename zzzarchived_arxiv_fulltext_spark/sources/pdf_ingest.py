@@ -23,9 +23,26 @@ from typing import Iterator, List
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
-from ..functions.pdf_text import count_pdf_images, extract_pdf_page_texts
+from ..functions.pdf_text import (
+    count_pdf_images,
+    extract_pdf_page_texts,
+    is_encrypted,
+)
 from ..schema import INPUT_SCHEMA
+
+# INPUT_SCHEMA plus an ingest-time failure classification: NULL for
+# parseable documents, 'encrypted' when the file carries an /Encrypt
+# dict and no text layer could be read (reference analogue: poppler
+# decrypted empty-user-password PDFs, extractor/fulltext.py:81-109 —
+# here detection-and-classify is the contract, matching the job's
+# failure-isolation shape P2). Downstream extract_documents selects
+# its own columns, so the extra column is transparent to the pipeline.
+INGEST_SCHEMA = T.StructType(
+    list(INPUT_SCHEMA.fields)
+    + [T.StructField("failure_class", T.StringType(), True)]
+)
 
 
 def _pdfminer_page_texts(pdf: bytes) -> List[str]:  # pragma: no cover
@@ -45,18 +62,20 @@ def _pdfminer_page_texts(pdf: bytes) -> List[str]:  # pragma: no cover
 
 
 def pdf_to_spans(pdfs: DataFrame, engine: str = "builtin") -> DataFrame:
-    """(doc_id, pdf:binary) → (doc_id, spans) per INPUT_SCHEMA.
+    """(doc_id, pdf:binary) → (doc_id, spans, failure_class).
 
     Text spans carry page text in page order (offset = position);
     every embedded image XObject becomes a media span referencing the
-    source document, appended after the text spans.
+    source document, appended after the text spans. ``failure_class``
+    is 'encrypted' for /Encrypt-protected files that yielded no text
+    (instead of silently-empty spans), NULL otherwise.
     """
     if engine not in ("builtin", "pdfminer"):
         raise ValueError(f"unknown engine {engine!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
-            out_ids, out_spans = [], []
+            out_ids, out_spans, out_fail = [], [], []
             for doc_id, payload in zip(pdf_batch["doc_id"],
                                        pdf_batch["pdf"]):
                 data = bytes(payload) if payload is not None else b""
@@ -75,8 +94,13 @@ def pdf_to_spans(pdfs: DataFrame, engine: str = "builtin") -> DataFrame:
                         "media_ref": f"pdfimg://{doc_id}/{m}",
                         "offset": len(pages) + m,
                     })
+                fail = None
+                if not pages and data and is_encrypted(data):
+                    fail = "encrypted"
                 out_ids.append(doc_id)
                 out_spans.append(spans)
-            yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+                out_fail.append(fail)
+            yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans,
+                                "failure_class": out_fail})
 
-    return pdfs.mapInPandas(run, schema=INPUT_SCHEMA)
+    return pdfs.mapInPandas(run, schema=INGEST_SCHEMA)
