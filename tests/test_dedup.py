@@ -101,3 +101,40 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
 
     uncapped = lsh_candidate_pairs(sigs, max_bucket_size=None)
     assert uncapped.count() == 100 * 99 // 2 + 1  # quadratic w/o cap
+
+
+def test_lsh_hot_bucket_drops_are_observable(spark):
+    """The cap must not be silent (no-silent-caps rule):
+    with_drop_stats returns the (band, bucket, n_docs) table of every
+    dropped hot bucket alongside the pairs."""
+    boiler = [(i, "boilerplate " * 20) for i in range(100)]
+    real = [(1000, BASE), (1001, NEAR)]
+    docs = spark.createDataFrame(boiler + real, ["doc_id", "text"])
+    sigs = minhash_signatures(word_shingles(docs), num_hashes=16)
+
+    pairs, dropped = lsh_candidate_pairs(sigs, max_bucket_size=50,
+                                         with_drop_stats=True)
+    drop_rows = dropped.collect()
+    # 100 identical docs hash into the same bucket in EVERY band (4)
+    assert len(drop_rows) == 4
+    assert {r["n_docs"] for r in drop_rows} == {100}
+    assert {r["band"] for r in drop_rows} == {0, 1, 2, 3}
+    assert (1000, 1001) in {(r["id_a"], r["id_b"])
+                            for r in pairs.collect()}
+
+    # no drops → empty stats frame, not a missing one
+    _, none_dropped = lsh_candidate_pairs(sigs, max_bucket_size=200,
+                                          with_drop_stats=True)
+    assert none_dropped.count() == 0
+
+    # cap disabled → empty, type-correct frame
+    _, off = lsh_candidate_pairs(sigs, max_bucket_size=None,
+                                 with_drop_stats=True)
+    assert off.count() == 0
+    assert off.columns == ["band", "bucket", "n_docs"]
+
+    # full-pipeline plumbing
+    _, d2 = near_duplicates_minhash(docs, threshold=0.4, num_hashes=16,
+                                    max_bucket_size=50,
+                                    with_drop_stats=True)
+    assert d2.count() == 4

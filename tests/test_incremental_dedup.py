@@ -95,6 +95,51 @@ def test_streaming_near_dedup_service(spark, tmp_path):
                                            threshold=0.5))
     assert _pairs(pairs_t.read(spark)) == batch
 
+    # restart replay is exactly-once (ADVICE r3): blow away the
+    # checkpoint so the stream REPLAYS every landed file with fresh
+    # batch ids; the stream_batch_id stamps in the table manifests
+    # must dedupe the appends — no table grows
+    import shutil
+
+    before = (corpus_t.read(spark).count(), buckets_t.read(spark).count(),
+              _pairs(pairs_t.read(spark)))
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run_streaming_near_dedup(
+        spark, landing, str(tmp_path / "ckpt"), corpus_t, buckets_t,
+        pairs_t, threshold=0.5)
+    after = (corpus_t.read(spark).count(), buckets_t.read(spark).count(),
+             _pairs(pairs_t.read(spark)))
+    assert after == before
+
+
+def test_incremental_dedup_commit_meta_is_idempotent(spark, tmp_path):
+    """A replayed increment with the same commit_meta must not append
+    bucket or pair rows twice (crash-between-commits recovery)."""
+    w1, w2 = _frames(spark)
+    buckets = SnapshotTable(str(tmp_path / "buckets"))
+    pairs = SnapshotTable(str(tmp_path / "pairs"))
+    meta = {"stream_batch_id": 0}
+
+    run_dedup_incremental(spark, w1, corpus=w1, bucket_table=buckets,
+                          pairs_table=pairs, threshold=0.5,
+                          commit_meta=meta)
+    n_buckets = buckets.read(spark).count()
+    n_pairs = pairs.read(spark).count()
+
+    # replay of the SAME increment: recomputes, appends nothing
+    run_dedup_incremental(spark, w1, corpus=w1, bucket_table=buckets,
+                          pairs_table=pairs, threshold=0.5,
+                          commit_meta=meta)
+    assert buckets.read(spark).count() == n_buckets
+    assert pairs.read(spark).count() == n_pairs
+
+    # a NEW increment still appends
+    run_dedup_incremental(spark, w2, corpus=w1.unionByName(w2),
+                          bucket_table=buckets, pairs_table=pairs,
+                          threshold=0.5,
+                          commit_meta={"stream_batch_id": 1})
+    assert buckets.read(spark).count() > n_buckets
+
 
 def test_incremental_second_run_reads_only_bucket_index(spark, tmp_path):
     """The history side of the candidate join is the bucket INDEX —

@@ -138,3 +138,17 @@ def test_hot_fingerprint_cap_bounds_pairs(spark):
         docs, min_shared=1, max_fp_docs=10).count() == 0
     assert fingerprint_overlap_pairs(
         docs, min_shared=1, max_fp_docs=None).count() == 40 * 39 // 2
+
+    # the drop is observable, not silent: every one of the shared
+    # fingerprints is held by all 40 docs and gets dropped
+    pairs, dropped = fingerprint_overlap_pairs(
+        docs, min_shared=1, max_fp_docs=10, with_drop_stats=True)
+    assert pairs.count() == 0
+    drop_rows = dropped.collect()
+    assert len(drop_rows) >= 1
+    assert all(r["n_docs"] == 40 for r in drop_rows)
+
+    # cap disabled → empty, type-correct stats frame
+    _, off = fingerprint_overlap_pairs(
+        docs, min_shared=1, max_fp_docs=None, with_drop_stats=True)
+    assert off.count() == 0 and off.columns == ["fp", "n_docs"]

@@ -62,6 +62,44 @@ def test_warc_record_walk_and_documents():
         assert len(docs) == 2                        # request/meta skipped
 
 
+def test_http_chunked_transfer_is_dechunked():
+    from zzzarchived_arxiv_fulltext_spark.sources.warc import http_body
+
+    # chunked framing as Common Crawl response records carry it
+    parts = [b"<html><body><p>chunked pa", b"ge</p></body></ht", b"ml>"]
+    framed = b"".join(
+        hex(len(p))[2:].encode() + (b"; ext=1" if i == 1 else b"")
+        + b"\r\n" + p + b"\r\n"
+        for i, p in enumerate(parts)
+    )
+    chunked = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+               b"Transfer-Encoding: chunked\r\n\r\n"
+               + framed + b"0\r\nX-Trailer: v\r\n\r\n")
+    assert http_body(chunked) == \
+        b"<html><body><p>chunked page</p></body></html>"
+
+    # non-chunked responses untouched
+    assert http_body(_http(_HTML)) == _HTML
+
+    # junk-safe: truncated mid-chunk / bad size token
+    trunc = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+             b"5\r\nhello\r\nZZ\r\nrest")
+    assert http_body(trunc) == b"hello"
+    assert http_body(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nnonsense"
+    ) == b""
+
+    # end-to-end: a chunked response record still routes and parses
+    body = _HTML
+    chunked_http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Transfer-Encoding: chunked\r\n\r\n"
+                    + hex(len(body))[2:].encode() + b"\r\n" + body
+                    + b"\r\n0\r\n\r\n")
+    warc = _record("response", "http://c.example/", chunked_http)
+    docs = dict(warc_documents(warc))
+    assert docs["http://c.example/"] == _HTML
+
+
 def test_warc_truncated_tail_is_tolerated():
     data = _warc()[:-40]  # cut into the last record
     docs = dict(warc_documents(data))

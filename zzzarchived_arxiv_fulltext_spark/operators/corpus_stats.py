@@ -8,10 +8,13 @@ filter family popularized by the Gopher/MassiveText rules (Rae et
 al. 2021, public) and standard TF-IDF weighting.
 
 Scale shape: everything is explode → map-side-combinable groupBy →
-(broadcast) join back; no per-row Python, no window without a
-partition key, no driver-side data. The corpus-level vocabularies
-(distinct tokens) are broadcast-joined — token vocabularies are small
-by Heaps' law relative to the corpus.
+join back; no per-row Python, no window without a partition key, no
+driver-side data beyond bounded metadata. Corpus-derived tables
+(vocabularies, bigram counts) carry NO forced broadcast hints:
+unigram vocabularies are usually broadcast-sized by Heaps' law and
+AQE converts those joins to broadcast at runtime when they fit, but
+bigram tables grow near-linearly with the corpus and a forced hint
+would OOM the driver at scale.
 """
 
 from pyspark.sql import DataFrame
@@ -102,15 +105,18 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3,
 
     (id, term, tf, df, score, rank) with score = tf * ln(N / df),
     ties broken by term. The document-frequency side is a distinct
-    (doc, term) aggregation joined back — broadcast-sized by Heaps'
-    law; the per-doc top-k is a window over (id) only.
+    (doc, term) aggregation joined back — usually broadcast-sized by
+    Heaps' law, but the hint is left to AQE (which broadcasts at
+    runtime when it fits) rather than forced, so a pathological
+    vocabulary cannot OOM the driver; the per-doc top-k is a window
+    over (id) only.
     """
     words = _words(df, text_col, id_col)
     n_docs = df.count()
     tf = words.groupBy("id", "w").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     scored = (
-        tf.join(F.broadcast(dfreq), on="w")
+        tf.join(dfreq, on="w")
         .select(
             "id", F.col("w").alias("term"), "tf", "df",
             F.round(F.col("tf") * F.log(n_docs / F.col("df")), 6)
@@ -128,33 +134,74 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3,
 
 def percentile_ranks(df: DataFrame, value_col: str,
                      id_col: str = "doc_id",
-                     rank_col: str = "pct_rank") -> DataFrame:
+                     rank_col: str = "pct_rank",
+                     num_buckets: int = 64) -> DataFrame:
     """Exact percent_rank of ``value_col`` for every row — WITHOUT a
-    global sort.
+    global sort and WITHOUT collecting the value histogram.
 
     ``percent_rank() OVER (ORDER BY v)`` is a single-partition window
-    at corpus scale. This computes the identical value from the VALUE
-    HISTOGRAM instead: one map-side-combined groupBy(value).count()
-    (bounded by distinct values, not rows), a driver-side cumulative
-    sum over that bounded histogram, and a broadcast join back —
-    rank(v) = count(x < v) / (n - 1), exactly SQL's percent_rank with
-    min-rank tie semantics. Triggers one small aggregate action.
+    at corpus scale, and a driver-side histogram CDF is row-scale for
+    continuous columns. This uses the two-pass partitioned prefix-sum
+    pattern (same as ``shard_by_token_budget``): (1) a bounded
+    (min, max, n) aggregate fixes ``num_buckets`` equal-width,
+    order-preserving value buckets; (2) the distinct-value histogram
+    is cumulated WITHIN each bucket by a bucket-partitioned window
+    (never SinglePartition) while the per-bucket totals — at most
+    ``num_buckets`` rows of driver metadata — prefix-sum into bucket
+    offsets; (3) below(v) = offset(bucket) + within-bucket cumsum
+    joins back onto the rows. rank(v) = count(x < v) / (n - 1),
+    exactly SQL's percent_rank with min-rank tie semantics.
+
+    ``value_col`` must be numeric (bucket boundaries are arithmetic).
+    NULL values are excluded from the distribution and surface with a
+    NULL rank; rows are never dropped. Triggers two bounded aggregate
+    actions (the stats row + ≤num_buckets totals).
     """
-    hist = (df.groupBy(F.col(value_col).alias("_v"))
-            .agg(F.count("*").alias("_c")).collect())
-    hist.sort(key=lambda r: r["_v"])
-    total = sum(r["_c"] for r in hist)
-    cdf, below = [], 0
-    for r in hist:
-        cdf.append((r["_v"], below))
-        below += r["_c"]
-    spark = df.sparkSession
-    dtype = dict(df.dtypes)[value_col]
-    cdf_df = spark.createDataFrame(cdf, f"_v {dtype}, _below long")
+    vals = df.where(F.col(value_col).isNotNull())
+    v = F.col(value_col).cast("double")
+    stats = vals.agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi"),
+        F.count("*").alias("n")).first()
+    keep_null_rank = df.select(
+        F.col(id_col), F.col(value_col),
+        F.lit(None).cast("double").alias(rank_col))
+    if not stats["n"]:
+        return keep_null_rank
+    lo, hi, total = float(stats["lo"]), float(stats["hi"]), stats["n"]
+    width = (hi - lo) / num_buckets
+    if width <= 0:  # single distinct value → all ranks are 0.0
+        width = 1.0
+    bucket = F.least(
+        F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(num_buckets - 1),
+    )
+    hist = vals.groupBy(
+        bucket.alias("_b"), F.col(value_col).alias("_v")
+    ).agg(F.count("*").alias("_c"))
+    # pass 1: per-bucket totals → offsets (≤ num_buckets rows of
+    # driver metadata — the ONLY collect, bounded by construction)
+    btot = {r["_b"]: r["_t"] for r in hist.groupBy("_b").agg(
+        F.sum("_c").alias("_t")).collect()}
+    offsets, running = [], 0
+    for b in range(num_buckets):
+        if b in btot:
+            offsets.append((b, running))
+            running += btot[b]
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "_b int, _offset long")
+    win = (Window.partitionBy("_b").orderBy("_v")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    cdf = (
+        hist
+        .withColumn("_below_local",
+                    F.coalesce(F.sum("_c").over(win), F.lit(0)))
+        .join(F.broadcast(off_df), on="_b")
+        .select("_v",
+                (F.col("_offset") + F.col("_below_local")).alias("_below"))
+    )
     denom = float(max(total - 1, 1))
     return (
-        df.join(F.broadcast(cdf_df),
-                on=F.col(value_col) == F.col("_v"))
+        df.join(cdf, on=df[value_col] == cdf["_v"], how="left")
         .select(F.col(id_col), F.col(value_col),
                 F.round(F.col("_below") / F.lit(denom), 6)
                 .alias(rank_col))
@@ -170,8 +217,8 @@ def slice_divergence(df: DataFrame, slice_col: str = "lang",
     (language, source, time bucket — any column) diverges from the
     overall token distribution. Finite by construction (every slice's
     vocabulary is a subset of the corpus vocabulary). Two map-side-
-    combinable aggregations and one broadcast join of the corpus
-    unigram table.
+    combinable aggregations and one join of the corpus unigram table
+    (no forced broadcast — AQE broadcasts at runtime when it fits).
     """
     words = df.select(
         F.col(slice_col).alias("s"),
@@ -188,7 +235,7 @@ def slice_divergence(df: DataFrame, slice_col: str = "lang",
     return (
         slice_counts
         .join(slice_totals, on="s")
-        .join(F.broadcast(global_counts), on="w")
+        .join(global_counts, on="w")
         .groupBy("s")
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
@@ -206,7 +253,11 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
     with counts from the corpus itself — the word-order-aware upgrade
     of :func:`unigram_surprisal` (a unigram model cannot tell shuffled
     text from prose; this can). Corpus bigram/unigram tables are
-    map-side-combined counts broadcast onto the exploded pairs.
+    map-side-combined counts joined back onto the exploded pairs with
+    NO forced broadcast: bigram vocabulary grows near-linearly with
+    corpus size (unlike unigrams/Heaps), so a broadcast hint is a
+    driver OOM at scale — AQE converts the join to broadcast at
+    runtime only when the built side actually fits.
     """
     ws = F.split(F.col(text_col), " ")
     pairs = F.transform(
@@ -225,8 +276,8 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
     unigrams = bigrams.groupBy("w1").agg(F.sum("bc").alias("uc"))
     return (
         exploded
-        .join(F.broadcast(bigrams), on=["w1", "w2"])
-        .join(F.broadcast(unigrams), on="w1")
+        .join(bigrams, on=["w1", "w2"])
+        .join(unigrams, on="w1")
         .groupBy("id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -294,14 +345,14 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text",
     Documents made of globally-common words score LOW (predictable);
     rare-token-heavy documents score HIGH — the cheap first-pass
     quality/outlier signal before any neural scoring. The unigram
-    table is one map-side-combined count, broadcast back onto the
-    exploded words.
+    table is one map-side-combined count joined back onto the
+    exploded words (no forced broadcast — AQE decides at runtime).
     """
     words = _words(df, text_col, id_col)
     vocab = words.groupBy("w").agg(F.count("*").alias("c"))
     total = vocab.agg(F.sum("c")).first()[0]
     return (
-        words.join(F.broadcast(vocab), on="w")
+        words.join(vocab, on="w")
         .groupBy("id")
         .agg(
             F.count("*").alias("n_words"),

@@ -94,7 +94,7 @@ DEFAULT_MAX_BUCKET_SIZE = 10_000
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
                         rows_per_band: int = 4,
                         max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
-                        ) -> DataFrame:
+                        with_drop_stats: bool = False):
     """Banded LSH: docs sharing any band bucket become candidates.
 
     Bucket join (equi-join on band hash) — never a cross join.
@@ -106,6 +106,15 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
     buckets carry no discriminating signal anyway). Bounds the
     worst-case candidate count at max_bucket_size² per bucket.
     ``max_bucket_size=None`` disables the cap.
+
+    The cap is NOT silent: ``with_drop_stats=True`` returns
+    ``(pairs, dropped)`` where ``dropped`` is the
+    (band, bucket, n_docs) table of every dropped hot bucket — bounded
+    by corpus_size / max_bucket_size rows, so materializing it is
+    always cheap relative to the dedup itself. (An ``Observation``
+    would avoid the extra job, but AQE's empty-relation pruning can
+    eliminate CollectMetrics nodes from anti-join subtrees, silently
+    corrupting the read — a side-output frame is deterministic.)
     """
     band_entries = F.array(*[
         F.struct(
@@ -120,19 +129,21 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
         "id", F.explode(band_entries).alias("e")
     ).select("id", "e.band", "e.bucket")
 
+    dropped = None
     if max_bucket_size is not None:
         hot = (
             buckets.groupBy("band", "bucket")
             .agg(F.count("*").alias("_n"))
             .where(F.col("_n") > max_bucket_size)
-            .select("band", "bucket")
         )
-        buckets = buckets.join(F.broadcast(hot), on=["band", "bucket"],
-                               how="left_anti")
+        dropped = hot.select("band", "bucket",
+                             F.col("_n").alias("n_docs"))
+        buckets = buckets.join(F.broadcast(hot.select("band", "bucket")),
+                               on=["band", "bucket"], how="left_anti")
 
     left = buckets.alias("a")
     right = buckets.alias("b")
-    return (
+    pairs = (
         left.join(
             right,
             (F.col("a.band") == F.col("b.band"))
@@ -142,6 +153,12 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if with_drop_stats:
+        if dropped is None:  # cap disabled → empty, type-correct frame
+            dropped = buckets.groupBy("band", "bucket").agg(
+                F.count("*").alias("n_docs")).limit(0)
+        return pairs, dropped
+    return pairs
 
 
 def exact_jaccard(shingled: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -197,13 +214,24 @@ def near_duplicates_minhash(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> DataFrame:
-    """Full near-dup pipeline: shingle → minhash → LSH → exact verify."""
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+    with_drop_stats: bool = False,
+):
+    """Full near-dup pipeline: shingle → minhash → LSH → exact verify.
+
+    ``with_drop_stats=True`` additionally returns the hot-bucket drop
+    table (see :func:`lsh_candidate_pairs`) — the cap is observable,
+    never silent.
+    """
     shingled = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
     sigs = minhash_signatures(shingled, num_hashes=num_hashes)
-    pairs = lsh_candidate_pairs(sigs, bands=bands,
-                                rows_per_band=num_hashes // bands)
-    return exact_jaccard(shingled, pairs).where(F.col("jaccard") >= threshold)
+    res = lsh_candidate_pairs(sigs, bands=bands,
+                              rows_per_band=num_hashes // bands,
+                              max_bucket_size=max_bucket_size,
+                              with_drop_stats=with_drop_stats)
+    pairs, dropped = res if with_drop_stats else (res, None)
+    out = exact_jaccard(shingled, pairs).where(F.col("jaccard") >= threshold)
+    return (out, dropped) if with_drop_stats else out
 
 
 # --------------------------------------------------------------------------

@@ -18,7 +18,7 @@ deterministic regardless of partitioning (and match DuckDB's
 ``ASOF JOIN`` on the deduplicated right side).
 """
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -293,26 +293,40 @@ def fingerprint_overlap_pairs(df: DataFrame, min_shared: int = 3,
                               id_col: str = "doc_id",
                               family: str = "md5",
                               max_fp_docs: int = DEFAULT_MAX_FP_DOCS,
-                              ) -> DataFrame:
+                              with_drop_stats: bool = False):
     """Plagiarism-style candidate pairs: docs sharing >= N fingerprints.
 
     Hot-fingerprint cap: a fingerprint shared by m documents (ubiquitous
     boilerplate) produces m² join rows; fingerprints held by more than
     ``max_fp_docs`` documents are dropped before the self-join — they
     carry no discriminating signal. ``max_fp_docs=None`` disables it.
+
+    The cap is NOT silent: ``with_drop_stats=True`` returns
+    ``(pairs, dropped)`` where ``dropped`` is the (fp, n_docs) table
+    of every dropped hot fingerprint — at most
+    total_fingerprints / max_fp_docs rows, cheap to materialize.
     """
     fps = document_fingerprints(df, text_col, id_col, family).select(
         F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp")
     ).distinct()
+    dropped = None
     if max_fp_docs is not None:
         hot = (fps.groupBy("fp").agg(F.count("*").alias("_n"))
-               .where(F.col("_n") > max_fp_docs).select("fp"))
-        fps = fps.join(F.broadcast(hot), on="fp", how="left_anti")
+               .where(F.col("_n") > max_fp_docs))
+        dropped = hot.select("fp", F.col("_n").alias("n_docs"))
+        fps = fps.join(F.broadcast(hot.select("fp")),
+                       on="fp", how="left_anti")
     a, b = fps.alias("a"), fps.alias("b")
-    return (
+    pairs = (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))
                & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("shared_fingerprints"))
         .where(F.col("shared_fingerprints") >= min_shared)
     )
+    if with_drop_stats:
+        if dropped is None:  # cap disabled → empty, type-correct frame
+            dropped = fps.groupBy("fp").agg(
+                F.count("*").alias("n_docs")).limit(0)
+        return pairs, dropped
+    return pairs

@@ -16,11 +16,13 @@ BUCKET TABLE as a committed snapshot table and, per increment:
 Cost per increment ≈ O(|delta| + |candidates|); history is touched
 only through its bucket index and the candidate row lookups.
 
-Delivery contract: at-least-once per delta — re-running the same
-delta re-appends its bucket rows (candidates are deduplicated, so
-pairs stay correct, but the index gains duplicate rows). Drive
-increments from snapshot deltas with a consumed position (the
-``run_extraction_incremental`` pattern) for exactly-once.
+Delivery contract: at-least-once per delta by default — re-running
+the same delta re-appends its bucket rows (candidates are
+deduplicated, so pairs stay correct, but the index gains duplicate
+rows). Pass ``commit_meta`` (e.g. a stream batch_id) to upgrade to
+exactly-once: each table append is stamped with the meta and a replay
+that finds the stamp already committed skips that append — the
+standard idempotent-foreachBatch pattern.
 """
 
 from typing import Optional
@@ -68,6 +70,7 @@ def run_dedup_incremental(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    commit_meta: Optional[dict] = None,
 ) -> DataFrame:
     """Dedup ``delta`` against itself and all previously-indexed docs.
 
@@ -76,7 +79,20 @@ def run_dedup_incremental(
     candidates. Returns the verified pairs (id_a, id_b, jaccard >=
     threshold) and commits the delta's bucket rows (plus, optionally,
     the pairs) so the next increment sees them.
+
+    ``commit_meta``: identity of this increment (e.g.
+    ``{"stream_batch_id": 7}``). Appends are stamped with it and a
+    REPLAY of the same increment skips any append whose stamp is
+    already committed — per-table idempotency under crash/retry.
     """
+
+    def _already_committed(table: SnapshotTable) -> bool:
+        if not commit_meta:
+            return False
+        return any(
+            all(s.get(k) == v for k, v in commit_meta.items())
+            for s in table.snapshots()
+        )
     shingled_delta = word_shingles(delta, n=n, text_col=text_col,
                                    id_col=id_col)
     sigs = minhash_signatures(shingled_delta, num_hashes=num_hashes)
@@ -130,7 +146,8 @@ def run_dedup_incremental(
         F.col("jaccard") >= threshold)
     verified = verified.localCheckpoint(eager=True)
 
-    bucket_table.append(delta_buckets)
-    if pairs_table is not None:
-        pairs_table.append(verified)
+    if not _already_committed(bucket_table):
+        bucket_table.append(delta_buckets, meta=commit_meta)
+    if pairs_table is not None and not _already_committed(pairs_table):
+        pairs_table.append(verified, meta=commit_meta)
     return verified

@@ -61,6 +61,13 @@ class SnapshotTable:
             json.dump(snaps, f, indent=1)
         os.replace(tmp, self._manifest_path())
 
+    def has_meta(self, key: str, value) -> bool:
+        """True when any committed snapshot carries ``key == value``
+        in its manifest entry — the exactly-once guard for replayed
+        writers (a foreachBatch retry checks its batch_id here and
+        skips the append instead of duplicating rows)."""
+        return any(s.get(key) == value for s in self.snapshots())
+
     # -- write --------------------------------------------------------------
 
     def append(self, df: DataFrame, meta: Optional[dict] = None) -> int:

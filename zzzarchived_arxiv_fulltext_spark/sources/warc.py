@@ -88,14 +88,50 @@ def iter_warc_records(data: bytes) -> Iterator[Tuple[dict, bytes]]:
         pos = body_start + length
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Undo HTTP/1.1 chunked transfer framing: each chunk is
+    ``<hex-size>[;ext]\\r\\n<data>\\r\\n``, terminated by a 0-size
+    chunk (optionally followed by trailers). Malformed framing
+    returns what was decoded so far plus nothing invented — junk-safe
+    for truncated records.
+    """
+    out = bytearray()
+    i, n = 0, len(body)
+    while i < n:
+        eol = body.find(b"\r\n", i)
+        if eol < 0:
+            break
+        size_tok = body[i:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:  # terminal chunk (trailers ignored)
+            break
+        data_start = eol + 2
+        out += body[data_start:data_start + size]
+        i = data_start + size + 2  # skip the chunk's trailing CRLF
+    return bytes(out)
+
+
 def http_body(payload: bytes) -> Optional[bytes]:
-    """Strip an HTTP response envelope; None when there is none."""
+    """Strip an HTTP response envelope; None when there is none.
+
+    Common Crawl response records frequently use
+    ``Transfer-Encoding: chunked`` — without de-chunking, hex
+    chunk-size tokens stay in the payload, corrupting format sniffing
+    and leaking into extracted text (ADVICE r3).
+    """
     if not payload.startswith(b"HTTP/"):
         return None
     sep = payload.find(b"\r\n\r\n")
     if sep < 0:
         return None
-    return payload[sep + 4:]
+    headers = _parse_headers(payload[:sep])
+    body = payload[sep + 4:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        return _dechunk(body)
+    return body
 
 
 def warc_documents(data: bytes) -> List[Tuple[str, bytes]]:

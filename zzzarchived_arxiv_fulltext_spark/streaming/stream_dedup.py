@@ -81,6 +81,13 @@ def run_streaming_near_dedup(
     corpus — so detection cost per batch is O(batch + candidates),
     never O(history). Restarts resume from the stream checkpoint and
     the committed tables together.
+
+    Exactly-once under replay: every table append is stamped with the
+    micro-batch id (``stream_batch_id`` in the snapshot manifest), and
+    a replayed batch skips appends whose stamp is already committed —
+    so a crash between the checkpoint commit and the table commits
+    can duplicate NOTHING (the standard idempotent-foreachBatch
+    pattern; ADVICE r3).
     """
     from ..plans.incremental_dedup import run_dedup_incremental
 
@@ -91,8 +98,11 @@ def run_streaming_near_dedup(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if corpus_table.has_meta("stream_batch_id", batch_id):
+            return  # full replay of an already-committed batch
         if batch_df.isEmpty():
             return
+        meta = {"stream_batch_id": batch_id}
         batch_df = batch_df.localCheckpoint(eager=True)
         history = (
             corpus_table.read(spark)
@@ -104,8 +114,9 @@ def run_streaming_near_dedup(
             bucket_table=bucket_table,
             pairs_table=pairs_table,
             threshold=threshold,
+            commit_meta=meta,
         )
-        corpus_table.append(batch_df)
+        corpus_table.append(batch_df, meta=meta)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
