@@ -285,3 +285,26 @@ def test_corpus_stats_plans_have_no_single_partition_exchange(spark):
         with contextlib.redirect_stdout(buf):
             out.explain("formatted")
         assert "Exchange SinglePartition" not in buf.getvalue()
+
+
+def test_zipf_slope_near_minus_one_on_zipfian_corpus(spark):
+    """A corpus whose term frequencies are planted as c_r = 1000/r
+    must fit slope ~ -1; a uniform corpus must fit slope ~ 0."""
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        zipf_slope,
+    )
+
+    zipf_words = []
+    for r in range(1, 51):
+        zipf_words += [f"w{r:03d}"] * (1000 // r)
+    docs = spark.createDataFrame(
+        [(1, " ".join(zipf_words))], ["doc_id", "text"])
+    row = zipf_slope(docs, top_n=50).first()
+    assert row["n_terms"] == 50
+    assert -1.05 < row["zipf_slope"] < -0.95, row["zipf_slope"]
+
+    uni = spark.createDataFrame(
+        [(1, " ".join(f"u{r}" for r in range(100)) * 3)],
+        ["doc_id", "text"])
+    row2 = zipf_slope(uni, top_n=50).first()
+    assert abs(row2["zipf_slope"]) < 0.01

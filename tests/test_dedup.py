@@ -138,3 +138,19 @@ def test_lsh_hot_bucket_drops_are_observable(spark):
                                     max_bucket_size=50,
                                     with_drop_stats=True)
     assert d2.count() == 4
+
+
+def test_normalized_dedup_collapses_recased_repunctuated(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.dedup import (
+        drop_normalized_duplicates,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"),
+         (2, "hello  world"),          # same normalized content
+         (3, "HELLO WORLD."),          # same
+         (4, "goodbye world")],        # different
+        ["doc_id", "text"])
+    got = {r["id"]: r["group_size"]
+           for r in drop_normalized_duplicates(df).collect()}
+    assert got == {1: 3, 4: 1}

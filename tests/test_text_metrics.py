@@ -152,3 +152,24 @@ def test_hot_fingerprint_cap_bounds_pairs(spark):
     _, off = fingerprint_overlap_pairs(
         docs, min_shared=1, max_fp_docs=None, with_drop_stats=True)
     assert off.count() == 0 and off.columns == ["fp", "n_docs"]
+
+
+def test_mojibake_score_counts_artifacts(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.text_metrics import (
+        mojibake_score,
+    )
+
+    clean = "plain ascii text only"
+    # cafÃ© ('cafÃ©'), curly-quote wreck 'â€œ'
+    # + 'â€', NBSP mojibake 'Â ', replacement char
+    dirty = ("cafÃ© â€œquoteâ€ "
+             "Â nbsp � end")
+    df = spark.createDataFrame(
+        [(1, clean), (2, dirty), (3, "")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in mojibake_score(df).collect()}
+    assert got[1]["mojibake_count"] == 0
+    assert got[1]["mojibake_per_100_chars"] == 0.0
+    assert got[2]["mojibake_count"] == 5
+    assert got[2]["mojibake_per_100_chars"] > 10
+    assert got[3]["mojibake_count"] == 0 and \
+        got[3]["mojibake_per_100_chars"] == 0.0

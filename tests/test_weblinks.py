@@ -1,0 +1,99 @@
+"""Web-link operators: URL parsing, domain stats, blocklist, PageRank."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from zzzarchived_arxiv_fulltext_spark.operators.weblinks import (
+    domain_stats,
+    filter_blocked_domains,
+    page_rank,
+    parse_urls,
+)
+
+
+def test_parse_urls_components(spark):
+    df = spark.createDataFrame(
+        [(1, "https://www.example.com/a/b/c?q=1#frag"),
+         (2, "http://blog.sub.example.org:8080/post"),
+         (3, "https://example.net/"),
+         (4, "https://localhost")],
+        ["doc_id", "url"],
+    )
+    got = {r["doc_id"]: r for r in parse_urls(df).collect()}
+    assert got[1]["host"] == "www.example.com"
+    assert got[1]["domain"] == "example.com"
+    assert got[1]["tld"] == "com"
+    assert got[1]["path_depth"] == 3       # query/fragment excluded
+    assert got[2]["host"] == "blog.sub.example.org"
+    assert got[2]["domain"] == "example.org"
+    assert got[2]["path_depth"] == 1       # port stripped
+    assert got[3]["path_depth"] == 0
+    assert got[4]["domain"] == "localhost"  # single-label host
+
+
+def test_domain_stats_aggregates(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.x.com/p", 10),
+         (2, "https://b.x.com/p/q", 30),
+         (3, "https://y.org/", 50)],
+        ["doc_id", "url", "n_chars"],
+    )
+    got = {r["domain"]: r for r in domain_stats(df).collect()}
+    assert got["x.com"]["n_docs"] == 2
+    assert got["x.com"]["n_hosts"] == 2
+    assert got["x.com"]["avg_chars"] == 20.0
+    assert got["x.com"]["avg_path_depth"] == 1.5
+    assert got["y.org"]["n_docs"] == 1
+
+
+def test_blocklist_blocks_domain_and_subdomains(spark):
+    df = spark.createDataFrame(
+        [(1, "https://bad.com/x"),
+         (2, "https://sub.bad.com/x"),       # subdomain of blocked
+         (3, "https://notbad.com/x"),        # suffix of the NAME, not a
+                                             # dot-suffix -> must survive
+         (4, "https://deep.sub.bad.com/x"),
+         (5, "https://good.org/x"),
+         (6, "https://exact.host.net/x")],   # host-level block
+        ["doc_id", "url"],
+    )
+    bl = spark.createDataFrame(
+        [("bad.com",), ("exact.host.net",)], ["blocked_domain"])
+    kept = sorted(r["doc_id"]
+                  for r in filter_blocked_domains(df, bl).collect())
+    assert kept == [3, 5]
+
+
+def test_pagerank_conserves_mass_and_matches_numpy(spark):
+    # ring of 5 + one chord; compare against a dense NumPy power
+    # iteration with identical damping/dangling handling.
+    edges_py = [(i, (i + 1) % 5) for i in range(5)] + [(0, 2)]
+    edges = spark.createDataFrame(edges_py, ["src", "dst"])
+    got = {r["node"]: r["rank"]
+           for r in page_rank(edges, iterations=8).collect()}
+    assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)
+
+    import numpy as np
+    n, d = 5, 0.85
+    out = {}
+    for s, _ in edges_py:
+        out[s] = out.get(s, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(8):
+        recv = np.zeros(n)
+        for s, t in edges_py:
+            recv[t] += r[s] / out[s]
+        dangling = sum(r[i] for i in range(n) if i not in out)
+        r = (1 - d) / n + d * (recv + dangling / n)
+    for i in range(n):
+        assert math.isclose(got[i], r[i], rel_tol=1e-9), (i, got[i], r[i])
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # 0->1, 1 has NO outlinks: its rank must flow back uniformly,
+    # keeping total mass at 1.0 every iteration.
+    edges = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    got = page_rank(edges, iterations=4)
+    total = got.agg(F.sum("rank")).first()[0]
+    assert math.isclose(total, 1.0, rel_tol=1e-9)

@@ -287,6 +287,36 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
     )
 
 
+def zipf_slope(df: DataFrame, top_n: int = 1000,
+               text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit over the top-``top_n`` vocabulary terms: the
+    log-log slope of frequency vs rank (natural prose ≈ -1; template/
+    machine-generated corpora drift far from it — a corpus-level
+    sanity metric for training mixes).
+
+    One map-side-combined vocabulary count, a distributed top-n
+    (``orderBy().limit`` plans as TakeOrderedAndProject — per-partition
+    heaps, never a global sort), ranks assigned by window over the
+    BOUNDED top-n frame only, then one regr_slope/intercept aggregate.
+    Ties broken by term so ranks are deterministic.
+    """
+    vocab = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").alias("c"))
+    )
+    top = vocab.orderBy(F.desc("c"), F.asc("w")).limit(top_n)
+    ranked = top.withColumn(
+        "r", F.row_number().over(
+            Window.orderBy(F.desc("c"), F.asc("w"))))
+    lr, lc = F.log(F.col("r").cast("double")), F.log(F.col("c").cast("double"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
+    )
+
+
 def drop_global_boilerplate(df: DataFrame, min_docs: int = 3,
                             text_col: str = "text",
                             id_col: str = "doc_id",

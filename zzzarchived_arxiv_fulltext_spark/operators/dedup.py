@@ -300,3 +300,32 @@ def simhash_near_duplicates(df: DataFrame, max_hamming: int = 2,
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def normalization_key(text_col) -> Column:
+    """Fuzzy-exact dedup key: lowercase, strip everything but letters/
+    digits/spaces, collapse whitespace, trim — then md5. Catches the
+    re-encoded/re-punctuated copies exact hashing misses while staying
+    a pure JVM expression (no shingling cost)."""
+    canon = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(text_col), "[^a-z0-9 ]", " "),
+        " +", " "))
+    return F.md5(canon)
+
+
+def drop_normalized_duplicates(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per NORMALIZED content key.
+
+    Same scale shape as exact dedup: one map-side-combinable groupBy
+    on the key — the normalization happens in the scan projection.
+    Returns (id, norm_key, group_size) for the kept docs.
+    """
+    key = normalization_key(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("id"), key.alias("norm_key"))
+        .groupBy("norm_key")
+        .agg(F.min("id").alias("keep_id"),
+             F.count("*").alias("group_size"))
+        .select(F.col("keep_id").alias("id"), "norm_key", "group_size")
+    )

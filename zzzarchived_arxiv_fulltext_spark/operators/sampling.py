@@ -251,3 +251,36 @@ def hash_split(
     for name, upper in reversed(bounds[:-1]):
         expr = F.when(bucket < upper, F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``k`` rows
+    (inclusion probability proportional to ``weight_col``).
+
+    Efraimidis–Spirakis A-ES keys: u = stable hash-uniform in (0,1),
+    key = ln(u) / w; the k LARGEST keys win — one expression plus a
+    distributed top-k (``orderBy().limit(k)`` plans as
+    TakeOrderedAndProject: per-partition heaps + a k-row merge, never
+    a global sort). Deterministic in (key_col, seed), so resumable
+    and engine-portable. Rows with non-positive or NULL weight are
+    excluded (zero inclusion probability).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed),
+                                      F.col(key_col).cast("string"))),
+                    1, 8), 16, 10).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float((1 << 32) + 1))  # (0, 1)
+    es_key = F.log(u) / F.col(weight_col)
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_es_key", es_key)
+        .orderBy(F.desc("_es_key"))
+        .limit(k)
+        .drop("_es_key")
+    )

@@ -330,3 +330,31 @@ def fingerprint_overlap_pairs(df: DataFrame, min_shared: int = 3,
                 F.count("*").alias("n_docs")).limit(0)
         return pairs, dropped
     return pairs
+
+
+# UTF-8-as-Latin-1 double-decode artifacts: 'Ã©'-style lead bytes,
+# Windows-1252 'â€œ' curly-quote wrecks, bare replacement chars, and
+# stray 'Â ' (NBSP mojibake). The canonical symptom set of encoding
+# mix-ups in web crawls.
+_MOJIBAKE_RE = "(Ã[-¿]|â€.|�|Â )"
+
+
+def mojibake_score(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Encoding-corruption score per document: occurrences of classic
+    mojibake byte-sequences per 100 characters, plus the raw count.
+
+    A cheap pure-JVM projection (regexp_count) that catches the
+    double-decoded UTF-8 and charset-mislabel artifacts that survive
+    naive ingestion — score > ~0.5 marks a document for re-decode or
+    drop in web-pipeline practice.
+    """
+    n = F.regexp_count(F.col(text_col), F.lit(_MOJIBAKE_RE))
+    length = F.length(text_col)
+    return df.select(
+        F.col(id_col),
+        n.alias("mojibake_count"),
+        F.round(
+            F.when(length > 0, n * 100.0 / length).otherwise(0.0), 6
+        ).alias("mojibake_per_100_chars"),
+    )

@@ -1,0 +1,167 @@
+"""Web-link operators: URL parsing, domain statistics, blocklist
+filtering, and link-graph PageRank for domain quality weighting.
+
+Web-scale training corpora are keyed by URL: the first filtering
+passes in C4/RefinedWeb-style pipelines act on the DOMAIN (blocklists,
+per-domain caps, centrality-based quality weights) before any content
+heuristic runs. These operators implement that family Spark-first:
+
+- URL parsing is pure JVM regexp (one projection, pipelines with the
+  scan);
+- blocklist filtering explodes each host into its bounded suffix
+  chain (a host has <= ~6 labels) and equi-joins the blocklist —
+  never a LIKE scan over the corpus, and the blocklist side is tiny
+  so AQE broadcasts it;
+- PageRank is the all-DataFrame iterative pattern (same shape as
+  ``plans/dedup_job.connected_keep_list``): per-iteration rank frame,
+  localCheckpoint every round to cut lineage, convergence on
+  materialized data; NO driver-side graph, NO GraphX/RDDs.
+"""
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# scheme://host[:port]/path — host is group 1, path group 2
+_URL_RE = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)[:0-9]*([^?#]*)"
+
+
+def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add (host, domain, tld, path_depth) columns parsed from
+    ``url_col``.
+
+    ``domain`` is the registrable domain approximated as the last two
+    host labels (public-suffix lists are a lookup-table refinement,
+    not a structural change). Pure JVM projection — no shuffle, no
+    Python.
+    """
+    host = F.regexp_extract(F.col(url_col), _URL_RE, 1)
+    path = F.regexp_extract(F.col(url_col), _URL_RE, 2)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    domain = F.when(
+        n >= 2,
+        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
+    ).otherwise(host)
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != F.lit("")))
+    return df.withColumns({
+        "host": host,
+        "domain": domain,
+        "tld": F.element_at(labels, -1),
+        "path_depth": depth,
+    })
+
+
+def domain_stats(df: DataFrame, url_col: str = "url",
+                 chars_col: Optional[str] = "n_chars") -> DataFrame:
+    """Per-domain corpus statistics: doc count, distinct hosts, mean
+    document size — the input to per-domain caps and weighting.
+
+    One map-side-combinable aggregation keyed by domain.
+    """
+    parsed = parse_urls(df, url_col)
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.count_distinct("host").alias("n_hosts"),
+        F.round(F.avg("path_depth"), 6).alias("avg_path_depth"),
+    ]
+    if chars_col is not None:
+        aggs.append(F.round(F.avg(chars_col), 6).alias("avg_chars"))
+    return parsed.groupBy("domain").agg(*aggs)
+
+
+def _host_suffixes(host_col):
+    """All dot-suffixes of a host: 'a.b.example.com' →
+    [a.b.example.com, b.example.com, example.com, com]. Bounded by
+    the label count (hosts have <= ~6 labels), so the explode adds a
+    small constant factor, not a blow-up."""
+    labels = F.split(host_col, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+
+
+def filter_blocked_domains(df: DataFrame, blocklist: DataFrame,
+                           url_col: str = "url",
+                           blocked_col: str = "blocked_domain",
+                           ) -> DataFrame:
+    """Drop documents whose host IS a blocked domain or any subdomain
+    of one (standard URL-blocklist semantics).
+
+    The host explodes into its bounded suffix chain and equi-joins the
+    blocklist — suffix matching as a JOIN, not a LIKE scan; the
+    blocklist is small by nature, so AQE broadcasts it. Scale cost:
+    one projection + one anti-join.
+    """
+    host = F.regexp_extract(F.col(url_col), _URL_RE, 1)
+    with_suffixes = df.withColumn("_suffix", F.explode(_host_suffixes(host)))
+    blocked_ids = (
+        with_suffixes
+        .join(blocklist.select(F.col(blocked_col).alias("_suffix")),
+              on="_suffix")
+        .select(df.columns)
+        .distinct()
+    )
+    return df.exceptAll(blocked_ids)
+
+
+def page_rank(edges: DataFrame, iterations: int = 10,
+              damping: float = 0.85,
+              src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """PageRank over an edge list — domain centrality for quality
+    weighting (the signal CommonCrawl-derived pipelines use to
+    up-weight reputable sources).
+
+    All-DataFrame iterative: contribution = rank/out_degree flows
+    along edges, new rank = (1-d)/N + d * (received + dangling/N).
+    Dangling mass (nodes with no outlinks) is redistributed uniformly,
+    so total rank is conserved at every iteration. Each round is one
+    equi-join + one aggregation; ``localCheckpoint`` cuts lineage per
+    round (the keep-list pattern — no driver-side graph, works at
+    edge counts that only fit distributed).
+
+    Returns (node, rank) for every node appearing as src or dst.
+    """
+    src = F.col(src_col).alias("node")
+    dst = F.col(dst_col).alias("node")
+    nodes = edges.select(src).unionByName(edges.select(dst)).distinct()
+    nodes = nodes.localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    out_deg = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count("*").alias("out_deg"))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iterations):
+        with_deg = ranks.join(out_deg, on="node", how="left")
+        # dangling nodes: rank mass with nowhere to go → uniform spread
+        dangling = (
+            with_deg.where(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            edges
+            .join(with_deg.where(F.col("out_deg").isNotNull()),
+                  on=edges[src_col] == F.col("node"))
+            .select(
+                F.col(dst_col).alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("received"))
+        )
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        ranks = (
+            nodes.join(contribs, on="node", how="left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.lit(damping) * F.coalesce(F.col("received"),
+                                               F.lit(0.0))).alias("rank"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks

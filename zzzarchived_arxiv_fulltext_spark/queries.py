@@ -2818,6 +2818,262 @@ def q_event_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 4 — web-link operators (URL/domain filtering family) and
+# corpus-hygiene additions.  URLs are PLANTED deterministically from
+# doc_id (closed-form scaffold) so the oracle can state the expected
+# result in pure arithmetic while the Spark side exercises the real
+# regexp parser / suffix-join machinery.
+# --------------------------------------------------------------------------
+
+def _planted_url() -> "F.Column":
+    """https://{www.|blog.|}site{doc_id%5}{.com|.org}/p/{doc_id%7}"""
+    return F.concat(
+        F.lit("https://"),
+        F.element_at(F.array(F.lit("www."), F.lit("blog."), F.lit("")),
+                     (F.col("doc_id") % 3 + 1).cast("int")),
+        F.lit("site"), (F.col("doc_id") % 5).cast("string"),
+        F.element_at(F.array(F.lit(".com"), F.lit(".org")),
+                     (F.col("doc_id") % 2 + 1).cast("int")),
+        F.lit("/p/"), (F.col("doc_id") % 7).cast("string"),
+    )
+
+
+_PLANTED_URL_SQL = (
+    "'https://' || CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.' "
+    "ELSE '' END || 'site' || (doc_id % 5)::VARCHAR || "
+    "CASE doc_id % 2 WHEN 0 THEN '.com' ELSE '.org' END || "
+    "'/p/' || (doc_id % 7)::VARCHAR"
+)
+
+
+@_register(
+    "url_domain_stats",
+    f"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.'
+                  ELSE '' END
+               || 'site' || (doc_id % 5)::VARCHAR
+               || CASE doc_id % 2 WHEN 0 THEN '.com' ELSE '.org' END
+               AS host,
+             'site' || (doc_id % 5)::VARCHAR
+               || CASE doc_id % 2 WHEN 0 THEN '.com' ELSE '.org' END
+               AS domain
+      FROM documents
+    )
+    SELECT domain,
+           count(*) AS n_docs,
+           count(DISTINCT host) AS n_hosts,
+           round(avg(2.0), 6) AS avg_path_depth,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM u GROUP BY domain ORDER BY domain
+    """,
+)
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus stats over planted URLs: the real regexp URL
+    parser + one map-side-combinable aggregation; the oracle states
+    the closed-form expectation (path depth is 2 by construction)."""
+    from .operators.weblinks import domain_stats
+
+    wu = _docs(spark, sf_dir).withColumn("url", _planted_url())
+    return domain_stats(wu).orderBy("domain")
+
+
+@_register(
+    "blocked_domain_filter",
+    """
+    SELECT doc_id FROM documents
+    WHERE NOT (doc_id % 10 = 0 OR doc_id % 30 = 1)
+    ORDER BY doc_id
+    """,
+)
+def q_blocked_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-blocklist filtering (domain + subdomain suffix semantics)
+    as a bounded suffix explode + equi-join — never a LIKE scan.
+    Blocklist: all of site0.com (=> doc_id%10==0: every host under the
+    domain) and the single host blog.site1.org (=> doc_id%30==1)."""
+    from .operators.weblinks import filter_blocked_domains
+
+    wu = _docs(spark, sf_dir).select("doc_id", _planted_url().alias("url"))
+    bl = spark.createDataFrame(
+        [("site0.com",), ("blog.site1.org",)], ["blocked_domain"])
+    return (filter_blocked_domains(wu, bl)
+            .select("doc_id").orderBy("doc_id"))
+
+
+def _pagerank_sql(iterations: int = 3, n: int = 25, d: float = 0.85) -> str:
+    """Unrolled PageRank on the planted 25-node graph
+    (i -> (2i+1)%25, i -> (3i+2)%25; every node has out-degree 2, so
+    no dangling mass). Same unrolled-fixpoint pattern as
+    dedup_keep_list."""
+    base = f"(1.0 - {d}) / {n}"
+    ctes = [
+        f"nodes AS (SELECT range AS node FROM range({n}))",
+        f"edges AS (SELECT range AS src, (range*2+1) % {n} AS dst "
+        f"FROM range({n}) UNION ALL "
+        f"SELECT range, (range*3+2) % {n} FROM range({n}))",
+        f"r0 AS (SELECT node, 1.0/{n} AS rank FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"r{k} AS (SELECT n.node, {base} + {d} * "
+            f"coalesce(s.received, 0.0) AS rank FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(r.rank / 2.0) AS received "
+            f"FROM edges e JOIN r{k-1} r ON r.node = e.src "
+            f"GROUP BY e.dst) s ON s.node = n.node)"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+            + " ORDER BY node")
+
+
+@_register("domain_pagerank", _pagerank_sql())
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (domain quality weighting) — all-DataFrame
+    iterative with per-round localCheckpoint, no driver-side graph.
+    Planted 25-node graph; oracle is the unrolled 3-step fixpoint."""
+    from .operators.weblinks import page_rank
+
+    edges = spark.range(25).select(
+        F.col("id").alias("src"), ((F.col("id") * 2 + 1) % 25).alias("dst")
+    ).unionByName(spark.range(25).select(
+        F.col("id").alias("src"), ((F.col("id") * 3 + 2) % 25).alias("dst")))
+    return (page_rank(edges, iterations=3)
+            .select("node", F.round("rank", 6).alias("rank"))
+            .orderBy("node"))
+
+
+@_register(
+    "mojibake_scores",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             text || CASE doc_id % 3
+                       WHEN 0 THEN ' Ã©x'
+                       WHEN 1 THEN ' â€œy Â z'
+                       ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '(Ã[-¿]|â€.|�|Â )'))
+             AS mojibake_count,
+           round(len(regexp_extract_all(t,
+                     '(Ã[-¿]|â€.|�|Â )')) * 100.0
+                 / length(t), 6) AS mojibake_per_100_chars
+    FROM m ORDER BY doc_id
+    """,
+)
+def q_mojibake_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-corruption scoring (double-decoded UTF-8 / cp1252
+    artifacts) — pure-JVM regexp_count projection. Mojibake is PLANTED
+    by doc_id%3 so the oracle sees known counts on real text."""
+    from .operators.text_metrics import mojibake_score
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(F.col("text"), F.element_at(
+            F.array(F.lit(" Ã©x"), F.lit(" â€œy Â z"), F.lit("")),
+            (F.col("doc_id") % 3 + 1).cast("int"))),
+    )
+    return mojibake_score(docs).orderBy("doc_id")
+
+
+@_register(
+    "normalized_dedup_groups",
+    """
+    WITH u AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, upper(text) FROM documents
+    ),
+    k AS (
+      SELECT id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+               AS norm_key
+      FROM u
+    )
+    SELECT min(id) AS id, norm_key, count(*) AS group_size
+    FROM k GROUP BY norm_key ORDER BY id
+    """,
+)
+def q_normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-exact dedup via normalization key (lowercase, strip
+    punctuation, collapse whitespace, md5): catches re-encoded /
+    re-cased copies exact hashing misses, at exact-dedup cost. The
+    corpus is unioned with planted UPPERCASED copies; every group must
+    collapse to the original id."""
+    from .operators.dedup import drop_normalized_duplicates
+
+    docs = _docs(spark, sf_dir)
+    u = docs.select(F.col("doc_id").alias("doc_id"), "text").unionByName(
+        docs.select((F.col("doc_id") + 10000000).alias("doc_id"),
+                    F.upper("text").alias("text")))
+    return drop_normalized_duplicates(u).orderBy("id")
+
+
+@_register(
+    "weighted_doc_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln((('0x' || substr(md5('ws|' || doc_id::VARCHAR), 1, 8))
+                 ::BIGINT::DOUBLE + 1.0) / 4294967297.0)
+               / n_chars AS es_key
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars FROM keyed ORDER BY es_key DESC LIMIT 100
+    ) ORDER BY doc_id
+    """,
+)
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES, inclusion probability ~ n_chars):
+    one projection + TakeOrderedAndProject top-k — no global sort,
+    resumable, engine-portable (the oracle replays the identical
+    hash-uniform keys)."""
+    from .operators.sampling import weighted_sample_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return (weighted_sample_topk(docs, "n_chars", 100, key_col="doc_id",
+                                 seed="ws")
+            .orderBy("doc_id"))
+
+
+@_register(
+    "zipf_law_fit",
+    """
+    WITH vocab AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(regexp_split_to_array(text, ' ')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ),
+    top AS (
+      SELECT w, c FROM vocab ORDER BY c DESC, w ASC LIMIT 100
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r FROM top
+    )
+    SELECT count(*)::BIGINT AS n_terms,
+           round(regr_slope(ln(c::DOUBLE), ln(r::DOUBLE)), 6) AS zipf_slope,
+           round(regr_intercept(ln(c::DOUBLE), ln(r::DOUBLE)), 6)
+             AS zipf_intercept
+    FROM ranked
+    """,
+)
+def q_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law log-log fit over the top-100 vocabulary — corpus
+    naturalness check. Distributed top-k (TakeOrderedAndProject) +
+    one regr_slope aggregate over the bounded top frame."""
+    from .operators.corpus_stats import zipf_slope
+
+    return zipf_slope(_docs(spark, sf_dir), top_n=100)
+
+
+# --------------------------------------------------------------------------
 # Driver-evidence scheduling.
 #
 # The correctness harness records a bounded prefix (~50 entries) of
@@ -2832,6 +3088,13 @@ def q_event_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # -- new this round (round 4): never had a chance to be checked --
+    "url_domain_stats",
+    "blocked_domain_filter",
+    "domain_pagerank",
+    "mojibake_scores",
+    "normalized_dedup_groups",
+    "weighted_doc_sample",
+    "zipf_law_fit",
     # -- never driver-checked through round 3 (VERDICT r3, wrong #1) --
     "dedup_keep_list",
     "repetition_metrics",
