@@ -97,3 +97,51 @@ def test_pagerank_dangling_mass_redistributed(spark):
     got = page_rank(edges, iterations=4)
     total = got.agg(F.sum("rank")).first()[0]
     assert math.isclose(total, 1.0, rel_tol=1e-9)
+
+
+def test_canonicalize_url_variants_collapse(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.weblinks import (
+        canonicalize_url,
+    )
+
+    urls = [
+        (1, "HTTPS://Example.COM/a/?utm_source=tw&b=2&a=1"),
+        (2, "https://example.com/a?a=1&b=2&fbclid=xyz"),
+        (3, "https://example.com/a/#section"),
+        (4, "https://example.com/a"),
+        (5, "https://example.com/other"),
+    ]
+    df = spark.createDataFrame(urls, ["doc_id", "url"])
+    got = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", canonicalize_url("url").alias("c")).collect()}
+    assert got[1] == got[2] == "https://example.com/a?a=1&b=2"
+    assert got[3] == got[4] == "https://example.com/a"
+    assert got[5] == "https://example.com/other"
+
+
+def test_cap_docs_per_domain_deterministic(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.weblinks import (
+        cap_docs_per_domain,
+    )
+    import hashlib
+
+    rows = [(i, f"https://h{i % 3}.dom{i % 2}.com/x") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    got = sorted(r["doc_id"]
+                 for r in cap_docs_per_domain(df, 5).collect())
+    assert len(got) == 10  # 2 domains x cap 5
+
+    # exact replay of the md5 hash order
+    expect = []
+    for dom in ("dom0.com", "dom1.com"):
+        members = [i for i in range(40)
+                   if f"dom{i % 2}.com" == dom]
+        members.sort(key=lambda i: hashlib.md5(
+            f"cap|{i}".encode()).hexdigest())
+        expect += members[:5]
+    assert got == sorted(expect)
+
+    # stable under repartitioning
+    again = sorted(r["doc_id"] for r in
+                   cap_docs_per_domain(df.repartition(7), 5).collect())
+    assert again == got

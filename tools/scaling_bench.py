@@ -30,8 +30,15 @@ cpus, n_docs, path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 spark = build_spark(app_name=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
                     shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
-extract_documents(spark.read.parquet(path).limit(2000)) \\
+# COLD: first full-input run in this fresh JVM — includes Python
+# worker spin-up (~13 s at 32 cores) and code-path JIT, i.e. what a
+# brand-new cluster pays once.
+t0 = time.perf_counter()
+extract_documents(spark.read.parquet(path)) \\
     .write.format("noop").mode("overwrite").save()
+cold = time.perf_counter() - t0
+# WARM: best of 2 repeat runs with workers/JIT hot — the steady-state
+# number a long-running job sees (matches bench.py's headline).
 best = None
 for _ in range(2):
     t0 = time.perf_counter()
@@ -39,8 +46,9 @@ for _ in range(2):
         .write.format("noop").mode("overwrite").save()
     sec = time.perf_counter() - t0
     best = sec if best is None or sec < best else best
-print(json.dumps({{"cpus": cpus, "docs": n_docs, "sec": best,
-                   "docs_per_sec": n_docs / best}}))
+print(json.dumps({{"cpus": cpus, "docs": n_docs,
+                   "cold_sec": cold, "cold_docs_per_sec": n_docs / cold,
+                   "sec": best, "docs_per_sec": n_docs / best}}))
 """
 
 _CONTROL = """
@@ -106,7 +114,9 @@ if not os.path.exists(path + "/_SUCCESS"):
             (hi / lo) * controls[lo]["docs_per_sec"])
 
     rows = "\n".join(
-        f"| {c} | {results[c]['sec']:.2f} | {results[c]['docs_per_sec']:.0f} "
+        f"| {c} | {results[c]['cold_sec']:.2f} "
+        f"| {results[c]['cold_docs_per_sec']:.0f} "
+        f"| {results[c]['sec']:.2f} | {results[c]['docs_per_sec']:.0f} "
         f"| {controls[c]['docs_per_sec']:.0f} |"
         for c in levels
     )
@@ -122,14 +132,17 @@ if not os.path.exists(path + "/_SUCCESS"):
 
 Identical extraction job (parquet scan → sort → Arrow pandas UDF →
 JVM reassembly → noop sink), identical materialized input
-({n_docs} interleaved-span documents, seed 42), fresh JVM per level,
-best of 2 runs:
+({n_docs} interleaved-span documents, seed 42), fresh JVM per level.
+COLD = first full run in the fresh JVM (pays Python-worker spin-up,
+~13 s at 32 cores, plus JIT — the one-time cost of a brand-new
+cluster). WARM = best of 2 repeat runs (steady state; matches
+bench.py's headline number):
 
-| cores | wall sec | docs/sec (Spark) | docs/sec (control: raw multiprocessing, same pure-Python extraction, no Spark) |
-|---|---|---|---|
+| cores | cold sec | cold docs/sec | warm sec | warm docs/sec | control docs/sec (raw multiprocessing, same pure-Python extraction, no Spark) |
+|---|---|---|---|---|---|
 {rows}
 
-N vs 4N scaling efficiency (target >= 0.8):
+N vs 4N scaling efficiency on WARM throughput (target >= 0.8):
 {effs}
 
 Interpretation: the control column shows what this single VM can
@@ -144,6 +157,7 @@ the same level) is the number to read.
 
 Reference implied ceiling (BASELINE.md): O(0.3-3) docs/sec fleet-wide.
 This engine: {max(r['docs_per_sec'] for r in results.values()):.0f} docs/sec
+warm ({max(r['cold_docs_per_sec'] for r in results.values()):.0f} cold)
 on one node.
 
 Generated by tools/scaling_bench.py on {time.strftime('%Y-%m-%d %H:%M:%S')}.

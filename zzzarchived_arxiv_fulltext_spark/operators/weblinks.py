@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # scheme://host[:port]/path — host is group 1, path group 2
-_URL_RE = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)[:0-9]*([^?#]*)"
+_URL_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)[:0-9]*([^?#]*)"
 
 
 def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -86,6 +86,7 @@ def _host_suffixes(host_col):
 
 def filter_blocked_domains(df: DataFrame, blocklist: DataFrame,
                            url_col: str = "url",
+                           id_col: str = "doc_id",
                            blocked_col: str = "blocked_domain",
                            ) -> DataFrame:
     """Drop documents whose host IS a blocked domain or any subdomain
@@ -93,19 +94,96 @@ def filter_blocked_domains(df: DataFrame, blocklist: DataFrame,
 
     The host explodes into its bounded suffix chain and equi-joins the
     blocklist — suffix matching as a JOIN, not a LIKE scan; the
-    blocklist is small by nature, so AQE broadcasts it. Scale cost:
-    one projection + one anti-join.
+    blocklist is small by nature, so AQE broadcasts it. Only
+    (id, suffix) pairs ever shuffle — the document payload stays in
+    place until the final LEFT ANTI on the id (never an exceptAll,
+    which would shuffle and hash-compare entire text rows).
     """
     host = F.regexp_extract(F.col(url_col), _URL_RE, 1)
-    with_suffixes = df.withColumn("_suffix", F.explode(_host_suffixes(host)))
+    suffixes = df.select(
+        F.col(id_col),
+        F.explode(_host_suffixes(host)).alias("_suffix"))
     blocked_ids = (
-        with_suffixes
+        suffixes
         .join(blocklist.select(F.col(blocked_col).alias("_suffix")),
               on="_suffix")
-        .select(df.columns)
+        .select(id_col)
         .distinct()
     )
-    return df.exceptAll(blocked_ids)
+    return df.join(blocked_ids, on=id_col, how="left_anti")
+
+
+def canonicalize_url(url_col) -> "F.Column":
+    """Canonical form for URL-level dedup: lowercase scheme+host,
+    default ports and fragments stripped, tracking parameters
+    (utm_*, fbclid, gclid) removed, remaining query params sorted,
+    trailing slash dropped from non-root paths.
+
+    Pure JVM expression chain (regexp + array ops) — pipelines with
+    the scan; two URLs that differ only in tracking noise map to the
+    same key, so exact dedup on the result catches the URL-duplicate
+    class MinHash never needs to see.
+    """
+    url = F.col(url_col) if isinstance(url_col, str) else url_col
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(url, _URL_RE, 1))
+    path = F.regexp_extract(url, _URL_RE, 2)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit(""))
+        & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid)(=|$)"),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def dedup_by_canonical_url(df: DataFrame, url_col: str = "url",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per canonical URL — exact-dedup
+    scale shape (one map-side-combinable groupBy on the canonical
+    key)."""
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  canonicalize_url(url_col).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.min("id").alias("id"), F.count("*").alias("group_size"))
+        .select("id", "canon_url", "group_size")
+    )
+
+
+def cap_docs_per_domain(df: DataFrame, max_docs: int,
+                        url_col: str = "url",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-domain document cap (RefinedWeb-style): keep at most
+    ``max_docs`` documents per registrable domain, chosen
+    DETERMINISTICALLY by hash order (not ingestion order), so the
+    result is stable under re-partitioning and resume.
+
+    One shuffle on domain; the rank window sorts only within each
+    domain's partition. Hot domains are exactly the rows the cap
+    discards, so the skewed tail is bounded by construction — AQE
+    splits any oversized partition before the sort.
+    """
+    from pyspark.sql import Window
+
+    parsed = parse_urls(df, url_col)
+    order = F.md5(F.concat_ws("|", F.lit("cap"),
+                              F.col(id_col).cast("string")))
+    w = Window.partitionBy("domain").orderBy(order)
+    return (
+        parsed.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_docs)
+        .drop("_rk", "host", "tld", "path_depth")
+    )
 
 
 def page_rank(edges: DataFrame, iterations: int = 10,

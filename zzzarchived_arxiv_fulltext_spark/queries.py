@@ -3073,6 +3073,189 @@ def q_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_slope(_docs(spark, sf_dir), top_n=100)
 
 
+@_register(
+    "gopher_quality_signals",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             text || CASE doc_id % 4
+               WHEN 0 THEN ''
+               WHEN 1 THEN e'\\n- first bullet\\n- second bullet'
+               WHEN 2 THEN e'\\nwait for it...\\nmore to come...'
+               ELSE ' ### ### ###' END AS t
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, t,
+             list_filter(str_split(t, ' '), w -> w <> '') AS words,
+             list_filter(str_split(t, e'\\n'), l -> l <> '') AS lines
+      FROM m
+    ),
+    s2 AS (
+      SELECT doc_id,
+        len(words) AS n_words,
+        CASE WHEN len(words) > 0 THEN
+          round(list_sum(list_transform(words, w -> length(w)))::DOUBLE
+                / len(words), 6) ELSE 0.0 END AS mean_word_length,
+        CASE WHEN len(words) > 0 THEN
+          round((len(regexp_extract_all(t, '#'))
+                 + len(regexp_extract_all(t, '\\.\\.\\.')))::DOUBLE
+                / len(words), 6) ELSE 0.0 END AS symbol_word_ratio,
+        CASE WHEN len(lines) > 0 THEN
+          round(len(list_filter(lines,
+                    l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
+                / len(lines), 6) ELSE 0.0 END AS bullet_line_frac,
+        CASE WHEN len(lines) > 0 THEN
+          round(len(list_filter(lines,
+                    l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))::DOUBLE
+                / len(lines), 6) ELSE 0.0 END AS ellipsis_line_frac,
+        CASE WHEN len(words) > 0 THEN
+          round(len(list_filter(words,
+                    w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+                / len(words), 6) ELSE 0.0 END AS alpha_word_frac,
+        len(list_intersect(
+              list_distinct(list_filter(str_split(lower(t), ' '),
+                                        w -> w <> '')),
+              ['the','be','to','of','and','that','have','with']))
+          AS n_stopwords
+      FROM sig
+    )
+    SELECT doc_id, n_words, mean_word_length, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           n_stopwords,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_length BETWEEN 3 AND 10
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_frac < 0.9
+            AND ellipsis_line_frac < 0.3
+            AND alpha_word_frac >= 0.8
+            AND n_stopwords >= 2)::INT AS passes
+    FROM s2 ORDER BY doc_id
+    """,
+)
+def q_gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality signals (Rae et al. 2021 A1.1)
+    — one pure-JVM projection. Bullet / ellipsis / symbol pathologies
+    are PLANTED by doc_id%4 so every rule fires on some slice."""
+    from .operators.quality_rules import gopher_quality_signals
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(F.col("text"), F.element_at(F.array(
+            F.lit(""),
+            F.lit("\n- first bullet\n- second bullet"),
+            F.lit("\nwait for it...\nmore to come..."),
+            F.lit(" ### ### ###"),
+        ), (F.col("doc_id") % 4 + 1).cast("int"))),
+    )
+    return (gopher_quality_signals(docs)
+            .withColumn("passes", F.col("passes").cast("int"))
+            .orderBy("doc_id"))
+
+
+@_register(
+    "c4_line_cleaning",
+    """
+    SELECT doc_id,
+           'Alpha beta gamma delta epsilon one.' || chr(10) ||
+           'Alpha beta gamma delta epsilon two.' || chr(10) ||
+           'Alpha beta gamma delta epsilon three.' AS clean_text,
+           3 AS n_lines_kept,
+           1 AS n_lines_dropped
+    FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id
+    """,
+)
+def q_c4_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line filtering (terminal punctuation, >=5 words, no
+    javascript; doc dropped under 3 kept lines or on lorem-ipsum /
+    brace). Planted by doc_id%3: slice 0 gains 3 keepable lines,
+    slice 1 only 1, slice 2 trips the lorem-ipsum page filter — the
+    oracle is the closed-form survivor set."""
+    from .operators.quality_rules import c4_line_filter
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(F.col("text"), F.element_at(F.array(
+            F.lit("\nAlpha beta gamma delta epsilon one."
+                  "\nAlpha beta gamma delta epsilon two."
+                  "\nAlpha beta gamma delta epsilon three."),
+            F.lit("\nGood line with five words here.\nshort words."),
+            F.lit("\nJavascript is required to view. lorem ipsum"),
+        ), (F.col("doc_id") % 3 + 1).cast("int"))),
+    )
+    return c4_line_filter(docs).orderBy("doc_id")
+
+
+@_register(
+    "canonical_url_dedup",
+    """
+    WITH g AS (
+      SELECT doc_id % 210 AS gid, min(doc_id) AS id,
+             count(*) AS group_size
+      FROM documents GROUP BY 1
+    )
+    SELECT id,
+           'https://'
+           || CASE gid % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.'
+              ELSE '' END
+           || 'site' || (gid % 5)::VARCHAR
+           || CASE gid % 2 WHEN 0 THEN '.com' ELSE '.org' END
+           || '/p/' || (gid % 7)::VARCHAR || '?a=1&b=2' AS canon_url,
+           group_size
+    FROM g ORDER BY id
+    """,
+)
+def q_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup on the canonical form: tracking params
+    (utm_*, fbclid, gclid) stripped, fragment dropped, params sorted.
+    Four planted query-string variants per URL must all collapse to
+    one canonical key => groups are exactly doc_id % 210 (closed
+    form)."""
+    from .operators.weblinks import dedup_by_canonical_url
+
+    wu = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(_planted_url(), F.element_at(F.array(
+            F.lit("?utm_source=x&b=2&a=1"),
+            F.lit("?a=1&b=2&utm_campaign=z"),
+            F.lit("?b=2&a=1#frag"),
+            F.lit("?a=1&b=2"),
+        ), (F.col("doc_id") % 4 + 1).cast("int"))).alias("url"))
+    return dedup_by_canonical_url(wu).orderBy("id")
+
+
+@_register(
+    "domain_doc_cap",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'site' || (doc_id % 5)::VARCHAR
+             || CASE doc_id % 2 WHEN 0 THEN '.com' ELSE '.org' END
+               AS domain
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, domain,
+             row_number() OVER (PARTITION BY domain
+                 ORDER BY md5('cap|' || doc_id::VARCHAR)) AS rk
+      FROM u
+    )
+    SELECT doc_id, domain FROM r WHERE rk <= 7 ORDER BY doc_id
+    """,
+)
+def q_domain_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (RefinedWeb-style), deterministic by
+    hash order so the kept set is stable under re-partitioning and
+    resume. One shuffle on domain; oracle replays the identical
+    md5-ordered rank."""
+    from .operators.weblinks import cap_docs_per_domain
+
+    wu = _docs(spark, sf_dir).select(
+        "doc_id", _planted_url().alias("url"))
+    return (cap_docs_per_domain(wu, 7)
+            .select("doc_id", "domain").orderBy("doc_id"))
+
+
 # --------------------------------------------------------------------------
 # Driver-evidence scheduling.
 #
@@ -3095,6 +3278,10 @@ _DRIVER_PRIORITY = [
     "normalized_dedup_groups",
     "weighted_doc_sample",
     "zipf_law_fit",
+    "gopher_quality_signals",
+    "c4_line_cleaning",
+    "canonical_url_dedup",
+    "domain_doc_cap",
     # -- never driver-checked through round 3 (VERDICT r3, wrong #1) --
     "dedup_keep_list",
     "repetition_metrics",
