@@ -308,3 +308,17 @@ def test_zipf_slope_near_minus_one_on_zipfian_corpus(spark):
         ["doc_id", "text"])
     row2 = zipf_slope(uni, top_n=50).first()
     assert abs(row2["zipf_slope"]) < 0.01
+
+
+def test_bpe_pair_stats_closed_form(spark):
+    """vocab {abc:2 via two docs, bcd:1} -> ab:2, bc:3, cd:1; ties
+    broken by pair; single-char words contribute nothing."""
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        bpe_pair_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc a b"), (2, "abc bcd x")], ["doc_id", "text"])
+    got = [(r["pair"], r["pair_count"])
+           for r in bpe_pair_stats(docs).collect()]
+    assert got == [("bc", 3), ("ab", 2), ("cd", 1)]

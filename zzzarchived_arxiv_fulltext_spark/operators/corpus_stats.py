@@ -317,6 +317,37 @@ def zipf_slope(df: DataFrame, top_n: int = 1000,
     )
 
 
+def bpe_pair_stats(df: DataFrame, top_n: int = 50,
+                   text_col: str = "text") -> DataFrame:
+    """Adjacent character-pair statistics over the word vocabulary,
+    weighted by word frequency — the counting step of a BPE
+    tokenizer-training iteration (the top pair is the next merge).
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    map-side-combinable count — Heaps' law makes this sublinear in
+    corpus size), pairs explode only from the vocab (bounded by
+    Σ|word|), and the final top-n is per-partition heaps
+    (TakeOrderedAndProject). The corpus text is scanned exactly once.
+    """
+    vocab = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w").agg(F.count("*").alias("c"))
+    )
+    pairs = vocab.select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1),"
+            " i -> substring(w, i, 2))")).alias("pair"),
+        F.col("c"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(top_n)
+    )
+
+
 def drop_global_boilerplate(df: DataFrame, min_docs: int = 3,
                             text_col: str = "text",
                             id_col: str = "doc_id",

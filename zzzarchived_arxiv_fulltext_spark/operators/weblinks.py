@@ -210,19 +210,27 @@ def page_rank(edges: DataFrame, iterations: int = 10,
     n_nodes = nodes.count()
     out_deg = edges.groupBy(F.col(src_col).alias("node")).agg(
         F.count("*").alias("out_deg"))
+    # Dangling-node set is a property of the GRAPH, not the iteration:
+    # materialize it once; when it's empty (most planted/link graphs
+    # after sink-pruning) every per-iteration dangling-mass job is
+    # skipped entirely.
+    dangling_nodes = nodes.join(out_deg, on="node", how="left_anti") \
+        .localCheckpoint(eager=True)
+    has_dangling = bool(dangling_nodes.head(1))
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iterations):
-        with_deg = ranks.join(out_deg, on="node", how="left")
         # dangling nodes: rank mass with nowhere to go → uniform spread
-        dangling = (
-            with_deg.where(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
+        dangling = 0.0
+        if has_dangling:
+            dangling = (
+                ranks.join(dangling_nodes, on="node", how="semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
+            )
         contribs = (
             edges
-            .join(with_deg.where(F.col("out_deg").isNotNull()),
+            .join(ranks.join(out_deg, on="node"),
                   on=edges[src_col] == F.col("node"))
             .select(
                 F.col(dst_col).alias("node"),
