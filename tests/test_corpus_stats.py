@@ -322,3 +322,16 @@ def test_bpe_pair_stats_closed_form(spark):
     got = [(r["pair"], r["pair_count"])
            for r in bpe_pair_stats(docs).collect()]
     assert got == [("bc", 3), ("ab", 2), ("cd", 1)]
+
+
+def test_corpus_diff_statuses(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        corpus_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")], ["doc_id", "text"])
+    got = {r["id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

@@ -145,3 +145,47 @@ def test_cap_docs_per_domain_deterministic(spark):
     again = sorted(r["doc_id"] for r in
                    cap_docs_per_domain(df.repartition(7), 5).collect())
     assert again == got
+
+
+def test_html_links_pure():
+    from zzzarchived_arxiv_fulltext_spark.functions.html_extract import (
+        html_links,
+    )
+
+    html = ('<html><body><a href="https://a.com/x">x</a>'
+            '<a href="/rel">r</a><a href="#frag">f</a>'
+            '<a href="mailto:a@b.c">m</a><a>none</a>'
+            '<a href="//proto.com/p">pr</a></body></html>')
+    got = html_links(html, "https://base.org/dir/page")
+    assert got == [
+        "https://a.com/x",
+        "https://base.org/rel",
+        "https://base.org/dir/page",   # fragment -> self
+        "https://proto.com/p",         # protocol-relative
+    ]
+    assert html_links(None) == []
+    assert html_links("<a href='https://x.com'>") == ["https://x.com"]
+    # no base: relative links cannot resolve -> dropped
+    assert html_links('<a href="/rel">r</a>') == []
+
+
+def test_link_graph_from_rendered_pages(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.weblinks import (
+        link_graph,
+    )
+
+    rows = [
+        (1, "https://www.one.com/a",
+         '<a href="https://two.org/x">t</a><a href="/local">l</a>'),
+        (2, "https://sub.two.org/b",
+         '<a href="https://one.com/y">o</a>'),
+        (3, "https://three.net/c", "<p>no links at all</p>"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "html"])
+    got = {(r["src"], r["dst"]): r["n_links"]
+           for r in link_graph(df).collect()}
+    assert got == {
+        ("one.com", "two.org"): 1,
+        ("one.com", "one.com"): 1,
+        ("two.org", "one.com"): 1,
+    }

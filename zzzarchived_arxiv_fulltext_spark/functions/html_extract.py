@@ -170,6 +170,47 @@ def html_metadata(html: str) -> dict:
     }
 
 
+class _LinkParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.hrefs: List[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            href = dict(attrs).get("href")
+            if href:
+                self.hrefs.append(href)
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+
+
+def html_links(html: str, base_url: str = None) -> List[str]:
+    """All anchor hrefs in document order, resolved against
+    ``base_url`` when given (stdlib urljoin), filtered to http(s).
+    The edge-list source for the link graph (weblinks.page_rank);
+    malformed markup yields what was parsed so far, never raises.
+    """
+    from urllib.parse import urldefrag, urljoin
+
+    parser = _LinkParser()
+    try:
+        parser.feed(html or "")
+        parser.close()
+    except Exception:
+        pass
+    out = []
+    for href in parser.hrefs:
+        try:
+            url = urljoin(base_url, href) if base_url else href
+            url = urldefrag(url)[0]  # fragments are intra-page noise
+        except ValueError:
+            continue
+        if url.startswith(("http://", "https://")):
+            out.append(url)
+    return out
+
+
 def link_density(html: str) -> float:
     """Whole-document anchor-chars / text-chars (corpus triage stat)."""
     parser = _MainTextParser()

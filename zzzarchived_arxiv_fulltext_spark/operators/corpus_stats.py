@@ -421,3 +421,32 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text",
             .alias("mean_surprisal"),
         )
     )
+
+
+def corpus_diff(old: DataFrame, new: DataFrame,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Content-level diff between two corpus versions: per-document
+    status ``added`` / ``removed`` / ``changed`` / ``unchanged`` by
+    md5 content hash — the audit step between dataset releases
+    (pairs with ``sources.tables.read_as_of`` for snapshot inputs).
+
+    Each side collapses to (id, hash) in the scan projection, so the
+    full-outer join shuffles two narrow columns, never document
+    payloads. Map-side combinable if ids are unique (they are by
+    contract).
+    """
+    o = old.select(F.col(id_col).alias("id"),
+                   F.md5(F.col(text_col)).alias("_oh"))
+    n = new.select(F.col(id_col).alias("id"),
+                   F.md5(F.col(text_col)).alias("_nh"))
+    return (
+        o.join(n, on="id", how="full_outer")
+        .select(
+            "id",
+            F.when(F.col("_oh").isNull(), F.lit("added"))
+            .when(F.col("_nh").isNull(), F.lit("removed"))
+            .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+            .otherwise(F.lit("unchanged")).alias("status"),
+        )
+    )

@@ -113,6 +113,56 @@ def filter_blocked_domains(df: DataFrame, blocklist: DataFrame,
     return df.join(blocked_ids, on=id_col, how="left_anti")
 
 
+def _domain_of(url) -> "F.Column":
+    """Registrable-domain expression for a URL column (same
+    approximation as :func:`parse_urls`)."""
+    host = F.lower(F.regexp_extract(url, _URL_RE, 1))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.when(
+        n >= 2,
+        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
+    ).otherwise(host)
+
+
+def link_graph(df: DataFrame, html_col: str = "html",
+               url_col: str = "url") -> DataFrame:
+    """Domain-level link graph from raw HTML pages:
+    (src, dst, n_links) edges, relative hrefs resolved against the
+    page URL — the input to :func:`page_rank`.
+
+    One Arrow-batched Python crossing carries the HTML payload (the
+    real stdlib parser, shared with html_metadata); everything after
+    the explode is JVM: domain parsing is a projection and the edge
+    aggregation is map-side combinable. Pages without links simply
+    contribute no rows.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.html_extract import html_links
+
+    @pandas_udf("array<string>")
+    def links_udf(htmls: pd.Series, bases: pd.Series) -> pd.Series:
+        return pd.Series(
+            [html_links(h, b) for h, b in zip(htmls, bases)])
+
+    edges = df.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(links_udf(F.col(html_col), F.col(url_col)))
+        .alias("dst_url"),
+    )
+    return (
+        edges.select(
+            _domain_of(F.col("src_url")).alias("src"),
+            _domain_of(F.col("dst_url")).alias("dst"),
+        )
+        .where((F.col("src") != "") & (F.col("dst") != ""))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
 def canonicalize_url(url_col) -> "F.Column":
     """Canonical form for URL-level dedup: lowercase scheme+host,
     default ports and fragments stripped, tracking parameters

@@ -3284,6 +3284,83 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_stats(_docs(spark, sf_dir), top_n=50)
 
 
+@_register(
+    "html_link_graph",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             'site' || (doc_id % 5)::VARCHAR
+             || CASE doc_id % 2 WHEN 0 THEN '.com' ELSE '.org' END
+               AS src
+      FROM documents
+    ),
+    e AS (
+      SELECT src, 'site' || ((doc_id + 1) % 5)::VARCHAR || '.com' AS dst
+      FROM s
+      UNION ALL
+      SELECT src, src FROM s   -- the relative link resolves home
+    )
+    SELECT src, dst, count(*)::BIGINT AS n_links
+    FROM e GROUP BY src, dst ORDER BY src, dst
+    """,
+)
+def q_html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain link graph extracted from REAL rendered HTML (stdlib
+    parser through the Arrow UDF), relative hrefs resolved against
+    the page URL. Each planted page links to site{(id+1)%5}.com and
+    to itself via a relative path — the oracle replays the closed
+    form."""
+    from .operators.weblinks import link_graph
+
+    html = F.concat(
+        F.lit('<html><body><p>intro text</p><a href="https://site'),
+        ((F.col("doc_id") + 1) % 5).cast("string"),
+        F.lit('.com/x">out</a><a href="/rel/p">home</a></body></html>'),
+    )
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", _planted_url().alias("url"), html.alias("html"))
+    return link_graph(pages).orderBy("src", "dst")
+
+
+@_register(
+    "corpus_version_diff",
+    """
+    SELECT id, status FROM (
+      SELECT doc_id AS id,
+             CASE WHEN doc_id % 7 = 0 THEN 'removed'
+                  WHEN doc_id % 5 = 1 THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, 'added'
+      FROM documents WHERE doc_id % 11 = 0
+    ) ORDER BY id
+    """,
+)
+def q_corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-release audit: content-hash diff between two corpus
+    versions (added/removed/changed/unchanged). The new version is
+    PLANTED from the old by doc_id arithmetic (drop %7, edit %5,
+    append %11 under new ids), so the oracle is the closed-form
+    status map while Spark runs the real two-sided hash join."""
+    from .operators.corpus_stats import corpus_diff
+
+    old = _docs(spark, sf_dir)
+    new = old.where(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 1,
+               F.concat(F.col("text"), F.lit(" [edited]")))
+        .otherwise(F.col("text")),
+    ).unionByName(
+        old.where(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" [new]")).alias("text"),
+            *[c for c in old.columns if c not in ("doc_id", "text")])
+        .select(old.columns)
+    )
+    return corpus_diff(old, new).orderBy("id")
+
+
 # --------------------------------------------------------------------------
 # Driver-evidence scheduling.
 #
@@ -3311,6 +3388,8 @@ _DRIVER_PRIORITY = [
     "canonical_url_dedup",
     "domain_doc_cap",
     "bpe_pair_counts",
+    "html_link_graph",
+    "corpus_version_diff",
     # -- never driver-checked through round 3 (VERDICT r3, wrong #1) --
     "dedup_keep_list",
     "repetition_metrics",
