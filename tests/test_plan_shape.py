@@ -101,3 +101,55 @@ def test_ann_query_broadcasts_queries(spark):
     # a sort-merge of the corpus
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_blocklist_broadcasts_the_blocklist_not_the_corpus(spark):
+    """The suffix join must build on the BLOCKLIST side; without the
+    hint, Catalyst's unknown-size default on in-memory relations can
+    broadcast the exploded corpus (BuildLeft) — fatal at scale."""
+    from zzzarchived_arxiv_fulltext_spark.operators.weblinks import (
+        filter_blocked_domains,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"https://h{i}.dom.com/x") for i in range(50)],
+        ["doc_id", "url"])
+    bl = spark.createDataFrame([("bad.com",)], ["blocked_domain"])
+    plan = _plan(filter_blocked_domains(df, bl))
+    assert "BuildLeft" not in plan, plan
+    assert "BroadcastHashJoin Inner BuildRight" in plan, plan
+
+
+def test_quality_rules_are_pure_projections(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.quality_rules import (
+        c4_line_filter,
+        gopher_quality_signals,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Some text with lines.\nAnother line here.")],
+        ["doc_id", "text"])
+    for out in (gopher_quality_signals(df), c4_line_filter(df)):
+        plan = _plan(out)
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan  # no UDF anywhere
+
+
+def test_topk_operators_plan_as_heaps(spark):
+    """zipf/bpe top-n must be TakeOrderedAndProject (per-partition
+    heaps), never a global Sort+Exchange of the full frame."""
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        bpe_pair_stats,
+        zipf_slope,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(20)],
+        ["doc_id", "text"])
+    for out in (bpe_pair_stats(df, top_n=10),):
+        plan = _plan(out)
+        assert "TakeOrderedAndProject" in plan, plan
+    # zipf's final agg sits above the bounded top-n; the top-n itself
+    # must still be heap-based
+    plan = _plan(zipf_slope(df, top_n=10))
+    assert "TakeOrderedAndProject" in plan, plan

@@ -93,11 +93,15 @@ def filter_blocked_domains(df: DataFrame, blocklist: DataFrame,
     of one (standard URL-blocklist semantics).
 
     The host explodes into its bounded suffix chain and equi-joins the
-    blocklist — suffix matching as a JOIN, not a LIKE scan; the
-    blocklist is small by nature, so AQE broadcasts it. Only
-    (id, suffix) pairs ever shuffle — the document payload stays in
-    place until the final LEFT ANTI on the id (never an exceptAll,
-    which would shuffle and hash-compare entire text rows).
+    blocklist — suffix matching as a JOIN, not a LIKE scan. The
+    blocklist is FORCE-broadcast: it is small by contract (a curated
+    list, not corpus-derived), and without the hint Catalyst's
+    unknown-size default on in-memory relations can pick BuildLeft
+    and broadcast the exploded CORPUS side instead — fatal at scale.
+    Only (id, suffix) pairs ever shuffle — the document payload stays
+    in place until the final LEFT ANTI on the id (never an exceptAll,
+    which would shuffle and hash-compare entire text rows); AQE turns
+    that anti-join into a broadcast when the blocked set is small.
     """
     host = F.regexp_extract(F.col(url_col), _URL_RE, 1)
     suffixes = df.select(
@@ -105,8 +109,9 @@ def filter_blocked_domains(df: DataFrame, blocklist: DataFrame,
         F.explode(_host_suffixes(host)).alias("_suffix"))
     blocked_ids = (
         suffixes
-        .join(blocklist.select(F.col(blocked_col).alias("_suffix")),
-              on="_suffix")
+        .join(F.broadcast(
+            blocklist.select(F.col(blocked_col).alias("_suffix"))),
+            on="_suffix")
         .select(id_col)
         .distinct()
     )
@@ -261,12 +266,13 @@ def page_rank(edges: DataFrame, iterations: int = 10,
     out_deg = edges.groupBy(F.col(src_col).alias("node")).agg(
         F.count("*").alias("out_deg"))
     # Dangling-node set is a property of the GRAPH, not the iteration:
-    # materialize it once; when it's empty (most planted/link graphs
-    # after sink-pruning) every per-iteration dangling-mass job is
-    # skipped entirely.
-    dangling_nodes = nodes.join(out_deg, on="node", how="left_anti") \
-        .localCheckpoint(eager=True)
+    # probe once; when it's empty (most link graphs after
+    # sink-pruning) every per-iteration dangling-mass job is skipped
+    # entirely and the set is never even materialized.
+    dangling_nodes = nodes.join(out_deg, on="node", how="left_anti")
     has_dangling = bool(dangling_nodes.head(1))
+    if has_dangling:
+        dangling_nodes = dangling_nodes.localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iterations):
@@ -299,5 +305,8 @@ def page_rank(edges: DataFrame, iterations: int = 10,
                                                F.lit(0.0))).alias("rank"),
             )
         )
+        # One eager materialization per round: skipping it would make
+        # the next round RECOMPUTE this round's join+aggregate (double
+        # shuffle work at scale) just to save a local write.
         ranks = ranks.localCheckpoint(eager=True)
     return ranks
