@@ -80,3 +80,38 @@ def test_psv_drops_reference_section():
     assert out["status"] == "succeeded"
     assert "journal" not in out["psv_text"]
     assert "normal sentence" in out["psv_text"]
+
+
+def test_strip_page_furniture_heuristics():
+    from zzzarchived_arxiv_fulltext_spark.functions.quality import (
+        strip_page_furniture,
+    )
+
+    pages = [
+        "Running Title\nreal body one\nPage 1",
+        "Running Title\nreal body two\nPage 2",
+        "Running Title\nreal body three\nPage 3",
+        "Running Title\nreal body four\nPage 4",
+    ]
+    cleaned, dropped = strip_page_furniture(pages)
+    assert cleaned == ["real body one", "real body two",
+                       "real body three", "real body four"]
+    assert dropped == 8
+
+    # under 3 pages: untouched (repetition is meaningless)
+    two = pages[:2]
+    assert strip_page_furniture(two) == (two, 0)
+
+    # a header on only 1 of 4 pages survives (< 50%)
+    rare = ["One-off banner\nbody a\nPage 1",
+            "body b\nPage 2", "body c\nPage 3", "body d\nPage 4"]
+    cleaned, _ = strip_page_furniture(rare)
+    assert cleaned[0] == "One-off banner\nbody a"
+
+    # deep body lines (outside the probe zone) are never dropped even
+    # if identical across pages
+    deep = ["h\nx\ny\nSAME DEEP\nz\nw\nPage 1",
+            "h\nq\nr\nSAME DEEP\ns\nt\nPage 2",
+            "h\na\nb\nSAME DEEP\nc\nd\nPage 3"]
+    cleaned, _ = strip_page_furniture(deep, probe_lines=2)
+    assert all("SAME DEEP" in p for p in cleaned)

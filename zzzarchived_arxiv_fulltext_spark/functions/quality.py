@@ -55,3 +55,57 @@ def strip_layout_junk(txt: str) -> str:
     txt = _CAMEL_SEAM.sub(r"\1 \2", txt)
     txt = _PUNCT_SEAM.sub(r"\1 \2", txt)
     return txt
+
+
+_DIGIT_RUN = re.compile(r"\d+")
+
+
+def strip_page_furniture(pages, min_page_frac: float = 0.5,
+                         probe_lines: int = 3):
+    """Remove running headers/footers and page numbers from a list of
+    per-page texts: a line in the top/bottom ``probe_lines`` of a page
+    is dropped when its digit-normalized form ("Page 3" → "Page #")
+    repeats in the same zone on >= ``min_page_frac`` of pages.
+
+    The positional repeated-line heuristic poppler/pdfminer layout
+    analysis applies (reference analogue: the pdf2txt -A retry,
+    extractor/fulltext/fulltext.py:112-130, whose positional pass
+    exists to undo exactly this page furniture). Documents under 3
+    pages are returned untouched — repetition is meaningless there.
+
+    Returns ``(cleaned_pages, n_lines_dropped)``.
+    """
+    if len(pages) < 3:
+        return list(pages), 0
+
+    def norm(s: str) -> str:
+        return _DIGIT_RUN.sub("#", s.strip())
+
+    from collections import Counter
+
+    head_counts, tail_counts = Counter(), Counter()
+    for page in pages:
+        lines = page.splitlines()
+        for s in {norm(x) for x in lines[:probe_lines] if x.strip()}:
+            head_counts[s] += 1
+        for s in {norm(x) for x in lines[-probe_lines:] if x.strip()}:
+            tail_counts[s] += 1
+    threshold = max(2, int(-(-min_page_frac * len(pages) // 1)))
+    drop_head = {s for s, c in head_counts.items() if c >= threshold}
+    drop_tail = {s for s, c in tail_counts.items() if c >= threshold}
+
+    cleaned, dropped = [], 0
+    for page in pages:
+        lines = page.splitlines()
+        keep = []
+        for i, x in enumerate(lines):
+            if x.strip():
+                nx = norm(x)
+                if (i < probe_lines and nx in drop_head) or \
+                        (i >= len(lines) - probe_lines
+                         and nx in drop_tail):
+                    dropped += 1
+                    continue
+            keep.append(x)
+        cleaned.append("\n".join(keep))
+    return cleaned, dropped

@@ -3361,6 +3361,65 @@ def q_corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(old, new).orderBy("id")
 
 
+@_register(
+    "pdf_page_furniture_strip",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE doc_id < 300
+    ),
+    m AS (
+      SELECT doc_id, ws, cast(ceil(len(ws) / 3.0) AS INT) AS m FROM d
+    )
+    SELECT doc_id::VARCHAR AS doc_id,
+           'alpha ' || array_to_string(ws[1 : m], ' ') || chr(10) ||
+           'beta '  || array_to_string(ws[m+1 : 2*m], ' ') || chr(10) ||
+           'gamma ' || array_to_string(ws[2*m+1 : 3*m], ' ')
+             AS extracted
+    FROM m ORDER BY doc_id
+    """,
+)
+def q_pdf_page_furniture_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real round trip: 3-page PDFs with planted running headers
+    ('Synthetic Journal') and page-number footers ('Page k') → parser
+    → positional repeated-line furniture strip → ONLY the per-page
+    body lines survive (closed-form oracle). The body of page k is
+    the k-th third of the words, marked alpha/beta/gamma so pages are
+    never spuriously identical."""
+    import pandas as pd
+
+    from .functions.pdf_text import make_simple_pdf
+    from .sources.pdf_ingest import pdf_to_spans
+
+    docs = _docs(spark, sf_dir).where("doc_id < 300").select(
+        "doc_id", "text")
+
+    def build(batches):
+        markers = ("alpha", "beta", "gamma")
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                ws = t.split(" ")
+                m = -(-len(ws) // 3)
+                pages = [
+                    ["Synthetic Journal",
+                     f"{markers[k]} " + " ".join(ws[k * m:(k + 1) * m]),
+                     f"Page {k + 1}"]
+                    for k in range(3)
+                ]
+                blobs.append(make_simple_pdf(pages))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype(str), "pdf": blobs})
+
+    pdfs = docs.mapInPandas(build, "doc_id string, pdf binary")
+    spans = pdf_to_spans(pdfs, strip_furniture=True)
+    text = F.expr(
+        "array_join(transform(array_sort(filter(spans, s -> s.kind = 'text'),"
+        " (a, b) -> a.offset - b.offset), s -> s.text), '\\n')"
+    )
+    return spans.select("doc_id", text.alias("extracted")).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Driver-evidence scheduling.
 #
@@ -3390,6 +3449,7 @@ _DRIVER_PRIORITY = [
     "bpe_pair_counts",
     "html_link_graph",
     "corpus_version_diff",
+    "pdf_page_furniture_strip",
     # -- never driver-checked through round 3 (VERDICT r3, wrong #1) --
     "dedup_keep_list",
     "repetition_metrics",

@@ -61,7 +61,8 @@ def _pdfminer_page_texts(pdf: bytes) -> List[str]:  # pragma: no cover
     return [p for p in text.split("\f") if p.strip()]
 
 
-def pdf_to_spans(pdfs: DataFrame, engine: str = "builtin") -> DataFrame:
+def pdf_to_spans(pdfs: DataFrame, engine: str = "builtin",
+                 strip_furniture: bool = False) -> DataFrame:
     """(doc_id, pdf:binary) → (doc_id, spans, failure_class).
 
     Text spans carry page text in page order (offset = position);
@@ -69,9 +70,14 @@ def pdf_to_spans(pdfs: DataFrame, engine: str = "builtin") -> DataFrame:
     source document, appended after the text spans. ``failure_class``
     is 'encrypted' for /Encrypt-protected files that yielded no text
     (instead of silently-empty spans), NULL otherwise.
+    ``strip_furniture=True`` removes running headers/footers/page
+    numbers via the positional repeated-line heuristic
+    (``functions.quality.strip_page_furniture``) before span emission.
     """
     if engine not in ("builtin", "pdfminer"):
         raise ValueError(f"unknown engine {engine!r}")
+
+    from ..functions.quality import strip_page_furniture
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
@@ -83,6 +89,8 @@ def pdf_to_spans(pdfs: DataFrame, engine: str = "builtin") -> DataFrame:
                     pages = _pdfminer_page_texts(data)
                 else:
                     pages = extract_pdf_page_texts(data)
+                if strip_furniture:
+                    pages, _ = strip_page_furniture(pages)
                 spans = [
                     {"kind": "text", "text": page, "media_ref": None,
                      "offset": k}
