@@ -3420,6 +3420,73 @@ def q_pdf_page_furniture_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.select("doc_id", text.alias("extracted")).orderBy("doc_id")
 
 
+@_register(
+    "inverted_index_postings",
+    """
+    WITH t AS (
+      SELECT DISTINCT doc_id AS id, w AS term FROM (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> ''
+    ),
+    r AS (
+      SELECT term, id,
+             row_number() OVER (PARTITION BY term ORDER BY id) AS rk,
+             count(*) OVER (PARTITION BY term) AS n
+      FROM t
+    )
+    SELECT term, any_value(n)::BIGINT AS n_docs,
+           string_agg(CASE WHEN rk <= 20 THEN id::VARCHAR END,
+                      ',' ORDER BY id) AS postings
+    FROM r GROUP BY term ORDER BY term
+    """,
+)
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index with BOUNDED posting lists (cap 20, so the
+    synthetic stopword-like vocabulary exercises visible truncation:
+    n_docs stays the true document frequency)."""
+    from .operators.search import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir),
+                          max_postings=20).orderBy("term")
+
+
+@_register(
+    "bm25_topk_search",
+    """
+    WITH w AS (
+      SELECT doc_id AS id, w AS term FROM (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> ''
+    ),
+    dl AS (SELECT id, count(*) AS dl FROM w GROUP BY id),
+    s AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT id, term, count(*) AS tf FROM w
+           WHERE term IN ('customer', 'query', 'fast')
+           GROUP BY id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    p AS (
+      SELECT tf.id,
+             ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+               AS sc
+      FROM tf JOIN dfq USING (term) JOIN dl USING (id) CROSS JOIN s
+    )
+    SELECT id AS doc_id, round(sum(sc), 6) AS score
+    FROM p GROUP BY id ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75, Robertson idf) for a
+    3-term query — the corpus-side search primitive for contamination
+    review and topical slicing. The oracle replays the exact formula;
+    top-k is per-partition heaps."""
+    from .operators.search import bm25_search
+
+    return bm25_search(_docs(spark, sf_dir),
+                       ["customer", "query", "fast"], k=20)
+
+
 # --------------------------------------------------------------------------
 # Driver-evidence scheduling.
 #
@@ -3450,6 +3517,8 @@ _DRIVER_PRIORITY = [
     "html_link_graph",
     "corpus_version_diff",
     "pdf_page_furniture_strip",
+    "inverted_index_postings",
+    "bm25_topk_search",
     # -- never driver-checked through round 3 (VERDICT r3, wrong #1) --
     "dedup_keep_list",
     "repetition_metrics",
