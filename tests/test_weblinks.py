@@ -189,3 +189,29 @@ def test_link_graph_from_rendered_pages(spark):
         ("one.com", "one.com"): 1,
         ("two.org", "one.com"): 1,
     }
+
+
+def test_canonicalize_url_idempotent_on_adversarial_batch(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over an
+    adversarial URL batch — one Spark pass, no per-case sessions."""
+    from zzzarchived_arxiv_fulltext_spark.operators.weblinks import (
+        canonicalize_url,
+    )
+
+    urls = [
+        "https://a.com", "https://a.com/", "https://a.com//x//",
+        "HTTP://UPPER.COM/Path/?b=2&a=1&utm_x=9",
+        "https://h.io/p?utm_source=&fbclid&gclid=1&z=26&a=",
+        "https://h.io/p?", "https://h.io/p#only-frag",
+        "https://h.io:443/p", "ftp://ignored.com/x",
+        "https://trail.com/a/b/c/", "https://q.com/?a=1&a=1&a=0",
+        "https://x.com/%7Euser?k=v#f",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(canonicalize_url("url").alias("url"))
+    twice = once.select(canonicalize_url("url").alias("c2"),
+                        "url")
+    bad = twice.where(
+        (F.col("c2") != F.col("url"))
+        & (F.col("url") != "")).collect()
+    assert bad == [], bad

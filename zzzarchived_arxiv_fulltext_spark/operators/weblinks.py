@@ -183,10 +183,9 @@ def canonicalize_url(url_col) -> "F.Column":
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(url, _URL_RE, 1))
     path = F.regexp_extract(url, _URL_RE, 2)
-    path = F.when(
-        (F.length(path) > 1) & path.endswith("/"),
-        F.substring(path, 1, F.length(path) - 1),
-    ).otherwise(path)
+    # ALL trailing slashes in one pass (idempotent; one-at-a-time
+    # stripping made canonicalize(canonicalize(u)) differ on 'x//')
+    path = F.regexp_replace(path, "/+$", "")
     query = F.regexp_extract(url, r"\?([^#]*)", 1)
     params = F.filter(
         F.split(query, "&"),
