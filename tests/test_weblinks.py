@@ -215,3 +215,34 @@ def test_canonicalize_url_idempotent_on_adversarial_batch(spark):
         (F.col("c2") != F.col("url"))
         & (F.col("url") != "")).collect()
     assert bad == [], bad
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from zzzarchived_arxiv_fulltext_spark.operators.weblinks import (
+        hits_scores,
+    )
+
+    edges_py = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 0)]
+    edges = spark.createDataFrame(edges_py, ["src", "dst"])
+    got = {r["node"]: (r["auth"], r["hub"])
+           for r in hits_scores(edges, iterations=4).collect()}
+
+    nodes = sorted({x for e in edges_py for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, t in edges_py:
+        A[idx[s], idx[t]] += 1
+    h = np.ones(len(nodes))
+    for _ in range(4):
+        a = A.T @ h
+        a = a / np.linalg.norm(a)
+        h = A @ a
+        h = h / np.linalg.norm(h)
+    for n in nodes:
+        assert abs(got[n][0] - a[idx[n]]) < 1e-9, (n, got[n], a[idx[n]])
+        assert abs(got[n][1] - h[idx[n]]) < 1e-9
+    # node 2 is the authority (everyone links to it); node 0 the hub
+    assert max(nodes, key=lambda n: got[n][0]) == 2
+    assert max(nodes, key=lambda n: got[n][1]) == 0

@@ -240,6 +240,49 @@ def cap_docs_per_domain(df: DataFrame, max_docs: int,
     )
 
 
+def hits_scores(edges: DataFrame, iterations: int = 5,
+                src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """HITS hubs-and-authorities over an edge list — the companion
+    centrality to :func:`page_rank` (authorities ≈ good content
+    sources, hubs ≈ good link pages; both useful domain-quality
+    priors for corpus weighting).
+
+    All-DataFrame alternating power iteration with L2 normalization:
+    each half-step is one equi-join + one aggregation; the norm is a
+    bounded scalar aggregate; ``localCheckpoint`` per half-step cuts
+    lineage. Returns (node, auth, hub) for every node.
+    """
+    src = F.col(src_col).alias("node")
+    dst = F.col(dst_col).alias("node")
+    nodes = edges.select(src).unionByName(edges.select(dst)).distinct()
+    nodes = nodes.localCheckpoint(eager=True)
+
+    def _spread(scores: DataFrame, score_col: str, from_col: str,
+                to_col: str, out_col: str) -> DataFrame:
+        """sum score over edges from `from_col` side onto `to_col`,
+        L2-normalized; zero for nodes receiving nothing."""
+        raw = (
+            edges.join(scores, on=edges[from_col] == F.col("node"))
+            .groupBy(F.col(to_col).alias("node"))
+            .agg(F.sum(score_col).alias(out_col))
+        )
+        full = nodes.join(raw, on="node", how="left").select(
+            "node", F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col))
+        norm = full.agg(
+            F.sqrt(F.sum(F.col(out_col) * F.col(out_col)))).first()[0]
+        return full.select(
+            "node",
+            (F.col(out_col) / F.lit(norm or 1.0)).alias(out_col)
+        ).localCheckpoint(eager=True)
+
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    auth = None
+    for _ in range(iterations):
+        auth = _spread(hubs, "hub", src_col, dst_col, "auth")
+        hubs = _spread(auth, "auth", dst_col, src_col, "hub")
+    return auth.join(hubs, on="node")
+
+
 def page_rank(edges: DataFrame, iterations: int = 10,
               damping: float = 0.85,
               src_col: str = "src", dst_col: str = "dst") -> DataFrame:

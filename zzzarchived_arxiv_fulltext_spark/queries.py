@@ -2927,6 +2927,58 @@ def _pagerank_sql(iterations: int = 3, n: int = 25, d: float = 0.85) -> str:
             + " ORDER BY node")
 
 
+def _hits_sql(iterations: int = 2, n: int = 25) -> str:
+    """Unrolled HITS on the planted 25-node graph (same edges as
+    PageRank). Each half-step: spread + L2 normalization via a scalar
+    subquery."""
+    ctes = [
+        f"nodes AS (SELECT range AS node FROM range({n}))",
+        f"edges AS (SELECT range AS src, (range*2+1) % {n} AS dst "
+        f"FROM range({n}) UNION ALL "
+        f"SELECT range, (range*3+2) % {n} FROM range({n}))",
+        "h0 AS (SELECT node, 1.0 AS hub FROM nodes)",
+    ]
+    prev_h = "h0"
+    for k in range(1, iterations + 1):
+        ctes += [
+            f"a{k}r AS (SELECT n.node, coalesce(s.v, 0.0) AS v FROM "
+            f"nodes n LEFT JOIN (SELECT e.dst AS node, sum(h.hub) AS v "
+            f"FROM edges e JOIN {prev_h} h ON h.node = e.src "
+            f"GROUP BY e.dst) s ON s.node = n.node)",
+            f"a{k} AS (SELECT node, v / (SELECT sqrt(sum(v*v)) "
+            f"FROM a{k}r) AS auth FROM a{k}r)",
+            f"h{k}r AS (SELECT n.node, coalesce(s.v, 0.0) AS v FROM "
+            f"nodes n LEFT JOIN (SELECT e.src AS node, sum(a.auth) AS v "
+            f"FROM edges e JOIN a{k} a ON a.node = e.dst "
+            f"GROUP BY e.src) s ON s.node = n.node)",
+            f"h{k} AS (SELECT node, v / (SELECT sqrt(sum(v*v)) "
+            f"FROM h{k}r) AS hub FROM h{k}r)",
+        ]
+        prev_h = f"h{k}"
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT a.node, round(a.auth, 6) AS auth, "
+            f"round(h.hub, 6) AS hub "
+            f"FROM a{iterations} a JOIN h{iterations} h USING (node) "
+            "ORDER BY node")
+
+
+@_register("domain_hits", _hits_sql())
+def q_domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the planted graph — alternating
+    L2-normalized power iteration, all-DataFrame; oracle is the
+    2-step unrolled fixpoint."""
+    from .operators.weblinks import hits_scores
+
+    edges = spark.range(25).select(
+        F.col("id").alias("src"), ((F.col("id") * 2 + 1) % 25).alias("dst")
+    ).unionByName(spark.range(25).select(
+        F.col("id").alias("src"), ((F.col("id") * 3 + 2) % 25).alias("dst")))
+    return (hits_scores(edges, iterations=2)
+            .select("node", F.round("auth", 6).alias("auth"),
+                    F.round("hub", 6).alias("hub"))
+            .orderBy("node"))
+
+
 @_register("domain_pagerank", _pagerank_sql())
 def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph PageRank (domain quality weighting) — all-DataFrame
@@ -3519,6 +3571,7 @@ _DRIVER_PRIORITY = [
     "pdf_page_furniture_strip",
     "inverted_index_postings",
     "bm25_topk_search",
+    "domain_hits",
     # -- never driver-checked through round 3 (VERDICT r3, wrong #1) --
     "dedup_keep_list",
     "repetition_metrics",
