@@ -176,3 +176,36 @@ def test_winnow_families_agree_on_structure(text):
         assert md5_fp and fast_fp
         assert len(set(md5_fp)) == len(md5_fp)
         assert len(set(fast_fp)) == len(fast_fp)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text, st.one_of(st.none(), st.text(max_size=60)))
+def test_html_links_never_raises_and_filters_schemes(page, base):
+    from zzzarchived_arxiv_fulltext_spark.functions.html_extract import (
+        html_links,
+    )
+
+    out = html_links(page, base)
+    assert isinstance(out, list)
+    for url in out:
+        assert url.startswith(("http://", "https://"))
+        assert "#" not in url      # fragments always stripped
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_text, max_size=8), st.integers(1, 4))
+def test_strip_page_furniture_total_and_conservative(pages, probe):
+    from zzzarchived_arxiv_fulltext_spark.functions.quality import (
+        strip_page_furniture,
+    )
+
+    cleaned, dropped = strip_page_furniture(pages, probe_lines=probe)
+    assert len(cleaned) == len(pages)
+    assert dropped >= 0
+    # never invents text: every surviving line existed on its page
+    for before, after in zip(pages, cleaned):
+        had = before.splitlines()
+        for line in after.splitlines():
+            assert line in had
+    if len(pages) < 3:
+        assert (cleaned, dropped) == (list(pages), 0)
