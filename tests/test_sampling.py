@@ -326,3 +326,39 @@ def test_weighted_sample_topk_plans_as_topk(spark):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sample_tokens_per_stratum_budget_and_stability(spark):
+    import hashlib
+
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        sample_tokens_per_stratum,
+    )
+
+    rows = [(i, "en" if i % 2 else "de", "w " * ((i % 5) + 1))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = sample_tokens_per_stratum(df, {"en": 20, "de": 15})
+    per = {r["doc_id"]: r for r in got.collect()}
+
+    # exact replay: hash order, cumulative token floor per stratum
+    expect = {}
+    for lang, budget in (("en", 20), ("de", 15)):
+        members = [(i, (i % 5) + 1) for i, l, _ in rows if l == lang]
+        members.sort(key=lambda t: hashlib.md5(
+            f"mix|{t[0]}".encode()).hexdigest())
+        cum = 0
+        for i, nt in members:
+            cum += nt
+            if cum > budget:
+                break
+            expect[i] = nt
+    assert {i: r["n_tokens"] for i, r in per.items()} == expect
+    # budgets are floors: never exceeded
+    for lang, budget in (("en", 20), ("de", 15)):
+        assert sum(r["n_tokens"] for r in per.values()
+                   if r["lang"] == lang) <= budget
+    # stable under repartitioning
+    again = {r["doc_id"] for r in sample_tokens_per_stratum(
+        df.repartition(7), {"en": 20, "de": 15}).collect()}
+    assert again == set(per)

@@ -284,3 +284,44 @@ def weighted_sample_topk(
         .limit(k)
         .drop("_es_key")
     )
+
+
+def sample_tokens_per_stratum(
+    df: DataFrame,
+    budgets: dict,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Training-mix construction by TOKEN budget: per stratum, keep
+    documents in deterministic hash order until the stratum's token
+    budget is reached (mix ratios are specified in tokens, not doc
+    counts — a 70/20/10 doc mix is meaningless when domains have
+    different document lengths).
+
+    One shuffle on the stratum key; the running sum is a window WITHIN
+    each stratum partition (never SinglePartition). Hash order makes
+    the kept set stable under repartitioning and growth: adding new
+    documents only changes the selection near the budget boundary.
+    Documents whose whole length fits inside the budget are kept
+    (doc granularity — the budget is a floor-undershoot, never split
+    mid-document). Strata without a budget entry are dropped.
+    """
+    order = F.md5(F.concat_ws("|", F.lit(seed),
+                              F.col(id_col).cast("string")))
+    n_tokens = F.size(F.filter(F.split(F.col(text_col), " "),
+                               lambda w: w != F.lit("")))
+    w = (Window.partitionBy(stratum_col).orderBy(order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    budget = F.lit(None).cast("long")
+    for k, v in sorted(budgets.items()):
+        budget = F.when(F.col(stratum_col) == k, F.lit(int(v))) \
+            .otherwise(budget)
+    return (
+        df.withColumn("_nt", n_tokens)
+        .withColumn("_cum", F.sum("_nt").over(w))
+        .where(F.col("_cum") <= budget)
+        .drop("_cum")
+        .withColumnRenamed("_nt", "n_tokens")
+    )

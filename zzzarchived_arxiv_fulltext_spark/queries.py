@@ -3539,6 +3539,45 @@ def q_bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ["customer", "query", "fast"], k=20)
 
 
+@_register(
+    "token_budget_mixture",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(str_split(text, ' '), w -> w <> ''))
+               AS n_tokens,
+             md5('mix|' || doc_id::VARCHAR) AS ord
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens FROM c
+    WHERE cum <= CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1200
+                 WHEN 'fr' THEN 600 END
+    ORDER BY doc_id
+    """,
+)
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction by TOKEN budget per language stratum
+    (en 3000 / de 1200 / fr 600 tokens; other strata dropped) —
+    deterministic hash order, stratum-partitioned running sum, stable
+    under repartitioning. The oracle replays the identical window."""
+    from .operators.sampling import sample_tokens_per_stratum
+
+    return (
+        sample_tokens_per_stratum(
+            _docs(spark, sf_dir).select("doc_id", "lang", "text"),
+            {"en": 3000, "de": 1200, "fr": 600})
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-evidence scheduling.
 #
@@ -3572,6 +3611,7 @@ _DRIVER_PRIORITY = [
     "inverted_index_postings",
     "bm25_topk_search",
     "domain_hits",
+    "token_budget_mixture",
     # -- never driver-checked through round 3 (VERDICT r3, wrong #1) --
     "dedup_keep_list",
     "repetition_metrics",
