@@ -107,3 +107,58 @@ def test_stream_replay_is_exactly_once(spark, tmp_path):
     assert t["funnel"].read(spark).count() == len(WAVE1)
     assert t["seen"].read(spark).groupBy("doc_id").count() \
         .where(F.col("count") > 1).count() == 0
+
+
+def test_partial_replay_recovers_kept_docs(spark, tmp_path):
+    """Crash AFTER the funnel/hash/seen appends but BEFORE the corpus
+    append: the replay must still commit the kept documents (the
+    replayed run reads history EXCLUDING its own batch stamp — a
+    poisoned hash index would classify every doc as an exact dup and
+    commit an empty corpus snapshot)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    landing = str(tmp_path / "landing")
+    t = _tables(tmp_path)
+    spark.createDataFrame(
+        WAVE1, "doc_id long, text string, lang string"
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    # simulate the partial first attempt: run with a corpus table that
+    # fails on append, leaving funnel/hash/seen/bucket committed
+    class FailingCorpus:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def has_meta(self, *a, **k):
+            return self._inner.has_meta(*a, **k)
+
+        def append(self, *a, **k):
+            raise RuntimeError("simulated crash before corpus commit")
+
+    try:
+        run_streaming_corpus_prep(
+            spark, landing, str(tmp_path / "ck-a"),
+            corpus_table=FailingCorpus(t["corpus"]),
+            funnel_table=t["funnel"],
+            hash_table=t["hash"], seen_table=t["seen"],
+            bucket_table=t["bucket"], pairs_table=t["pairs"],
+            min_tokens=10, max_avg_token_len=8.0, near_threshold=0.5,
+        )
+    except Exception:
+        pass  # the stream surfaces the simulated crash
+    assert t["hash"].snapshots()          # partial state committed
+    assert not t["corpus"].snapshots()
+
+    # replay with a fresh checkpoint: batch 0 reruns fully
+    run_streaming_corpus_prep(
+        spark, landing, str(tmp_path / "ck-b"),
+        corpus_table=t["corpus"], funnel_table=t["funnel"],
+        hash_table=t["hash"], seen_table=t["seen"],
+        bucket_table=t["bucket"], pairs_table=t["pairs"],
+        min_tokens=10, max_avg_token_len=8.0, near_threshold=0.5,
+    )
+    kept = t["corpus"].read(spark).collect()
+    assert {r["doc_id"] for r in kept} == {1}      # doc 1 recovered
+    # and no table holds duplicate rows for the batch
+    assert t["seen"].read(spark).groupBy("doc_id").count() \
+        .where(F.col("count") > 1).count() == 0

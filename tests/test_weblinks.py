@@ -246,3 +246,67 @@ def test_hits_matches_numpy_power_iteration(spark):
     # node 2 is the authority (everyone links to it); node 0 the hub
     assert max(nodes, key=lambda n: got[n][0]) == 2
     assert max(nodes, key=lambda n: got[n][1]) == 0
+
+
+def test_canonicalize_url_review_fixes(spark):
+    """Non-default ports preserved, unparseable URLs untouched (no
+    constant-key collapse), '?' inside a fragment is not a query."""
+    from zzzarchived_arxiv_fulltext_spark.operators.weblinks import (
+        canonicalize_url,
+        dedup_by_canonical_url,
+    )
+
+    urls = [
+        (1, "http://example.com:8080/x"),
+        (2, "http://example.com/x"),
+        (3, "http://example.com:80/x"),
+        (4, "www.example.com/a"),       # no scheme
+        (5, "not a url"),
+        (6, "https://h.io/p#a?b"),
+        (7, None),
+        (8, None),
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", canonicalize_url("url").alias("c")).collect()}
+    assert got[1] == "http://example.com:8080/x"   # distinct origin
+    assert got[2] == got[3] == "http://example.com/x"
+    assert got[4] == "www.example.com/a"           # untouched
+    assert got[5] == "not a url"
+    assert got[6] == "https://h.io/p"              # no phantom query
+    assert got[7] is None
+
+    # dedup: malformed/NULL urls never collapse across documents
+    groups = dedup_by_canonical_url(df)
+    kept = sorted(r["id"] for r in groups.collect())
+    assert kept == [1, 2, 4, 5, 6, 7, 8]           # only 2+3 merge
+
+
+def test_blocklist_is_case_insensitive(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.weblinks import (
+        filter_blocked_domains,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "HTTP://EXAMPLE.COM/page"),
+         (2, "https://Sub.Example.Com/x"),
+         (3, "https://fine.org/x")],
+        ["doc_id", "url"])
+    bl = spark.createDataFrame([("Example.COM",)], ["blocked_domain"])
+    kept = [r["doc_id"] for r in filter_blocked_domains(df, bl).collect()]
+    assert kept == [3]
+
+
+def test_pagerank_empty_graph_returns_typed_empty(spark):
+    import pytest
+
+    from zzzarchived_arxiv_fulltext_spark.operators.weblinks import (
+        hits_scores,
+        page_rank,
+    )
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = page_rank(empty, iterations=3)
+    assert out.columns == ["node", "rank"] and out.count() == 0
+    with pytest.raises(ValueError):
+        hits_scores(empty, iterations=0)

@@ -65,12 +65,15 @@ def main() -> None:
     if args.continuous:
         query.awaitTermination()
         return
-    funnel = tables["funnel"].read(spark)
+    # explicit schemas: an empty landing dir commits no snapshots and
+    # schemaless reads of empty tables raise by design
+    funnel = tables["funnel"].read(spark, "doc_id long, stage string")
+    corpus = tables["corpus"].read(
+        spark, "doc_id long, text string, lang string, split string")
     from pyspark.sql import functions as F
     counts = {r["stage"]: r["n"] for r in funnel.groupBy("stage")
               .agg(F.count("*").alias("n")).collect()}
-    print(json.dumps({"funnel": counts,
-                      "corpus_rows": tables["corpus"].read(spark).count()}))
+    print(json.dumps({"funnel": counts, "corpus_rows": corpus.count()}))
 
 
 if __name__ == "__main__":

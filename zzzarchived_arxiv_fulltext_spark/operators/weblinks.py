@@ -33,10 +33,11 @@ def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
 
     ``domain`` is the registrable domain approximated as the last two
     host labels (public-suffix lists are a lookup-table refinement,
-    not a structural change). Pure JVM projection — no shuffle, no
-    Python.
+    not a structural change). Hosts are case-normalized (DNS names
+    are case-insensitive — 'EXAMPLE.COM' must cap/block/aggregate
+    with 'example.com'). Pure JVM projection — no shuffle, no Python.
     """
-    host = F.regexp_extract(F.col(url_col), _URL_RE, 1)
+    host = F.lower(F.regexp_extract(F.col(url_col), _URL_RE, 1))
     path = F.regexp_extract(F.col(url_col), _URL_RE, 2)
     labels = F.split(host, r"\.")
     n = F.size(labels)
@@ -103,14 +104,14 @@ def filter_blocked_domains(df: DataFrame, blocklist: DataFrame,
     which would shuffle and hash-compare entire text rows); AQE turns
     that anti-join into a broadcast when the blocked set is small.
     """
-    host = F.regexp_extract(F.col(url_col), _URL_RE, 1)
+    host = F.lower(F.regexp_extract(F.col(url_col), _URL_RE, 1))
     suffixes = df.select(
         F.col(id_col),
         F.explode(_host_suffixes(host)).alias("_suffix"))
     blocked_ids = (
         suffixes
-        .join(F.broadcast(
-            blocklist.select(F.col(blocked_col).alias("_suffix"))),
+        .join(F.broadcast(blocklist.select(
+            F.lower(F.col(blocked_col)).alias("_suffix"))),
             on="_suffix")
         .select(id_col)
         .distinct()
@@ -170,9 +171,14 @@ def link_graph(df: DataFrame, html_col: str = "html",
 
 def canonicalize_url(url_col) -> "F.Column":
     """Canonical form for URL-level dedup: lowercase scheme+host,
-    default ports and fragments stripped, tracking parameters
-    (utm_*, fbclid, gclid) removed, remaining query params sorted,
-    trailing slash dropped from non-root paths.
+    DEFAULT ports (http:80 / https:443) and fragments stripped,
+    non-default ports preserved (distinct origins stay distinct),
+    tracking parameters (utm_*, fbclid, gclid) removed, remaining
+    query params sorted, trailing slashes dropped from non-root paths.
+
+    URLs that don't parse (no scheme://host) pass through UNCHANGED —
+    every malformed URL stays its own key instead of all collapsing
+    onto one constant (which would mass-dedup dirty crawl rows).
 
     Pure JVM expression chain (regexp + array ops) — pipelines with
     the scan; two URLs that differ only in tracking noise map to the
@@ -182,32 +188,49 @@ def canonicalize_url(url_col) -> "F.Column":
     url = F.col(url_col) if isinstance(url_col, str) else url_col
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(url, _URL_RE, 1))
+    port = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:(\d+)", 1)
+    is_default = (
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    port_part = F.when(is_default, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port))
     path = F.regexp_extract(url, _URL_RE, 2)
     # ALL trailing slashes in one pass (idempotent; one-at-a-time
     # stripping made canonicalize(canonicalize(u)) differ on 'x//')
     path = F.regexp_replace(path, "/+$", "")
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # query = text between the FIRST '?' of the pre-fragment part and
+    # the fragment ('#a?b' carries no query; an unanchored \\? would
+    # read one out of the fragment)
+    query = F.regexp_extract(
+        F.regexp_replace(url, "#.*", ""), r"\?(.*)", 1)
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != F.lit(""))
         & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid)(=|$)"),
     )
     qs = F.array_join(F.array_sort(params), "&")
-    return F.concat(
-        scheme, F.lit("://"), host,
+    canonical = F.concat(
+        scheme, F.lit("://"), host, port_part,
         F.when(path == "", F.lit("/")).otherwise(path),
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+    return F.when(host == "", url).otherwise(canonical)
 
 
 def dedup_by_canonical_url(df: DataFrame, url_col: str = "url",
                            id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id document per canonical URL — exact-dedup
     scale shape (one map-side-combinable groupBy on the canonical
-    key)."""
+    key). NULL-url documents each keep their own group (a NULL is an
+    absent key, not a shared one)."""
+    key = F.coalesce(
+        canonicalize_url(url_col),
+        F.concat(F.lit("_nullurl_"), F.col(id_col).cast("string")))
     return (
-        df.select(F.col(id_col).alias("id"),
-                  canonicalize_url(url_col).alias("canon_url"))
+        df.select(F.col(id_col).alias("id"), key.alias("canon_url"))
         .groupBy("canon_url")
         .agg(F.min("id").alias("id"), F.count("*").alias("group_size"))
         .select("id", "canon_url", "group_size")
@@ -252,6 +275,8 @@ def hits_scores(edges: DataFrame, iterations: int = 5,
     bounded scalar aggregate; ``localCheckpoint`` per half-step cuts
     lineage. Returns (node, auth, hub) for every node.
     """
+    if iterations < 1:
+        raise ValueError("hits_scores needs iterations >= 1")
     src = F.col(src_col).alias("node")
     dst = F.col(dst_col).alias("node")
     nodes = edges.select(src).unionByName(edges.select(dst)).distinct()
@@ -305,6 +330,10 @@ def page_rank(edges: DataFrame, iterations: int = 10,
     nodes = edges.select(src).unionByName(edges.select(dst)).distinct()
     nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.count()
+    if not n_nodes:
+        # empty link graph (e.g. a corpus slice without http links):
+        # a typed empty frame, not a ZeroDivisionError on the driver
+        return nodes.withColumn("rank", F.lit(0.0))
     out_deg = edges.groupBy(F.col(src_col).alias("node")).agg(
         F.count("*").alias("out_deg"))
     # Dangling-node set is a property of the GRAPH, not the iteration:

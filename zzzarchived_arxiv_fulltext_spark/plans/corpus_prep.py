@@ -44,6 +44,34 @@ STAGE_EXACT = "drop_exact_dup"
 STAGE_NEAR = "drop_near_dup"
 
 
+# Shared stage expressions — the streaming funnel
+# (streaming/stream_corpus_prep.py) imports THESE, so the documented
+# stream==batch equivalence can never silently diverge through a
+# hand-copied tweak.
+
+def with_quality_stats(docs: DataFrame) -> DataFrame:
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id", "text", "lang",
+        F.size(toks).alias("_nt"),
+        (F.length("text") / F.size(toks)).alias("_atl"))
+
+
+def bad_quality_expr(min_tokens: int, max_avg_token_len: float):
+    return (F.col("_nt") < min_tokens) | \
+        (F.col("_atl") > max_avg_token_len)
+
+
+def bad_lang_expr(keep_langs):
+    return ~F.col("lang").isin(*keep_langs)
+
+
+def first_seen_rank():
+    """1 for the lowest-id holder of each exact content hash."""
+    return F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id"))
+
+
 def corpus_prep_funnel(
     docs: DataFrame,
     min_tokens: int = 25,
@@ -59,27 +87,19 @@ def corpus_prep_funnel(
     ``stage`` is the first pipeline stage that dropped the document,
     or ``kept_<split>`` for survivors.
     """
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    atl = F.length("text") / n_tokens
+    base = with_quality_stats(docs)
 
-    base = docs.select("doc_id", "text", "lang",
-                       n_tokens.alias("_nt"), atl.alias("_atl"))
-
-    bad_quality = (F.col("_nt") < min_tokens) | \
-        (F.col("_atl") > max_avg_token_len)
+    bad_quality = bad_quality_expr(min_tokens, max_avg_token_len)
     d_quality = base.where(bad_quality).select(
         "doc_id", F.lit(STAGE_QUALITY).alias("stage"))
     s1 = base.where(~bad_quality)
 
-    bad_lang = ~F.col("lang").isin(*keep_langs)
+    bad_lang = bad_lang_expr(keep_langs)
     d_lang = s1.where(bad_lang).select(
         "doc_id", F.lit(STAGE_LANG).alias("stage"))
     s2 = s1.where(~bad_lang)
 
-    rn = F.row_number().over(
-        Window.partitionBy(F.md5("text")).orderBy("doc_id"))
-    s2r = s2.withColumn("_rn", rn)
+    s2r = s2.withColumn("_rn", first_seen_rank())
     d_exact = s2r.where(F.col("_rn") > 1).select(
         "doc_id", F.lit(STAGE_EXACT).alias("stage"))
     s3 = s2r.where(F.col("_rn") == 1).drop("_rn")

@@ -87,12 +87,8 @@ def run_dedup_incremental(
     """
 
     def _already_committed(table: SnapshotTable) -> bool:
-        if not commit_meta:
-            return False
-        return any(
-            all(s.get(k) == v for k, v in commit_meta.items())
-            for s in table.snapshots()
-        )
+        return bool(commit_meta) and table.has_meta(commit_meta)
+
     shingled_delta = word_shingles(delta, n=n, text_col=text_col,
                                    id_col=id_col)
     sigs = minhash_signatures(shingled_delta, num_hashes=num_hashes)
@@ -105,9 +101,14 @@ def run_dedup_incremental(
                                 rows_per_band=rows_per_band)
 
     # delta x history candidates: equi-join against the committed
-    # bucket index — no historical text or signatures recomputed
+    # bucket index — no historical text or signatures recomputed.
+    # Under replay (commit_meta already stamped by a partial earlier
+    # attempt) the index must be read AS OF before this increment's
+    # own append, or the delta matches its own prior bucket rows.
     if bucket_table.snapshots():
-        hist = bucket_table.read(spark)
+        hist = (bucket_table.read_excluding_meta(
+                    spark, commit_meta, schema=BUCKET_SCHEMA)
+                if commit_meta else bucket_table.read(spark))
         cross = (
             delta_buckets.alias("d")
             .join(hist.alias("h"),

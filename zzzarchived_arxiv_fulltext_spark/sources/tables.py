@@ -61,12 +61,17 @@ class SnapshotTable:
             json.dump(snaps, f, indent=1)
         os.replace(tmp, self._manifest_path())
 
-    def has_meta(self, key: str, value) -> bool:
-        """True when any committed snapshot carries ``key == value``
-        in its manifest entry — the exactly-once guard for replayed
-        writers (a foreachBatch retry checks its batch_id here and
-        skips the append instead of duplicating rows)."""
-        return any(s.get(key) == value for s in self.snapshots())
+    def has_meta(self, key, value=None) -> bool:
+        """True when any committed snapshot carries the given meta —
+        the exactly-once guard for replayed writers (a foreachBatch
+        retry checks its batch_id here and skips the append instead
+        of duplicating rows). Accepts either ``(key, value)`` or a
+        whole meta dict (all entries must match one snapshot)."""
+        items = key.items() if isinstance(key, dict) else [(key, value)]
+        return any(
+            all(s.get(k) == v for k, v in items)
+            for s in self.snapshots()
+        )
 
     # -- write --------------------------------------------------------------
 
@@ -116,6 +121,33 @@ class SnapshotTable:
         schema-evolution contract Iceberg tables give for free.
         """
         dirs = [os.path.join(self.path, s["dir"]) for s in self.snapshots()]
+        if not dirs:
+            if schema is None:
+                raise ValueError(
+                    f"empty table {self.path} needs an explicit schema"
+                )
+            return spark.createDataFrame([], schema)
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        return reader.parquet(*dirs)
+
+    def read_excluding_meta(self, spark: SparkSession, meta: dict,
+                            schema: Optional[T.StructType] = None
+                            ) -> DataFrame:
+        """All committed rows EXCEPT snapshots whose manifest entry
+        matches every key of ``meta``.
+
+        The replay-safe read for idempotent micro-batch writers: a
+        replayed batch must classify against history as it stood
+        BEFORE its own (possibly partial) earlier attempt, so it
+        excludes its own batch stamp — otherwise its prior hash/index
+        appends poison the rerun (every doc looks like a duplicate of
+        itself) and the replay commits empty output.
+        """
+        dirs = [
+            os.path.join(self.path, s["dir"])
+            for s in self.snapshots()
+            if not all(s.get(k) == v for k, v in meta.items())
+        ]
         if not dirs:
             if schema is None:
                 raise ValueError(

@@ -33,7 +33,6 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..operators.redact import redact_text
 from ..operators.sampling import hash_split
@@ -43,6 +42,10 @@ from ..plans.corpus_prep import (
     STAGE_LANG,
     STAGE_NEAR,
     STAGE_QUALITY,
+    bad_lang_expr,
+    bad_quality_expr,
+    first_seen_rank,
+    with_quality_stats,
 )
 from ..plans.incremental_dedup import run_dedup_incremental
 from ..sources.tables import SnapshotTable
@@ -86,28 +89,30 @@ def run_streaming_corpus_prep(
         meta = {"stream_batch_id": batch_id}
         batch_df = batch_df.localCheckpoint(eager=True)
 
-        toks = F.split("text", " ")
-        base = batch_df.select(
-            "doc_id", "text", "lang",
-            F.size(toks).alias("_nt"),
-            (F.length("text") / F.size(toks)).alias("_atl"))
-        bad_quality = (F.col("_nt") < min_tokens) | \
-            (F.col("_atl") > max_avg_token_len)
+        base = with_quality_stats(batch_df)
+        bad_quality = bad_quality_expr(min_tokens, max_avg_token_len)
         d_quality = base.where(bad_quality).select(
             "doc_id", F.lit(STAGE_QUALITY).alias("stage"))
         s1 = base.where(~bad_quality)
 
-        bad_lang = ~F.col("lang").isin(*keep_langs)
+        bad_lang = bad_lang_expr(keep_langs)
         d_lang = s1.where(bad_lang).select(
             "doc_id", F.lit(STAGE_LANG).alias("stage"))
         s2 = s1.where(~bad_lang)
 
-        # exact dedup: first-seen WITHIN the batch, then vs history
-        rn = F.row_number().over(
-            Window.partitionBy(F.md5("text")).orderBy("doc_id"))
-        s2r = s2.withColumn("_rn", rn).withColumn("_h", F.md5("text"))
+        # exact dedup: first-seen WITHIN the batch, then vs history.
+        # History is read EXCLUDING this batch's own stamp: a replay
+        # of a partially-committed batch (crash after the hash append,
+        # before the corpus append) must classify against history as
+        # it stood BEFORE the failed attempt — otherwise its own prior
+        # append makes every doc an "exact dup" and the replay commits
+        # an empty corpus snapshot (silent data loss).
+        s2r = s2.withColumn("_rn", first_seen_rank()) \
+            .withColumn("_h", F.md5("text"))
         hist_hashes = (
-            hash_table.read(spark) if hash_table.snapshots()
+            hash_table.read_excluding_meta(spark, meta,
+                                           schema=HASH_SCHEMA)
+            if hash_table.snapshots()
             else spark.createDataFrame([], HASH_SCHEMA)
         ).withColumnRenamed("h", "_h")
         dup_in_hist = s2r.join(hist_hashes, on="_h", how="left_semi")
@@ -125,9 +130,12 @@ def run_streaming_corpus_prep(
 
         # near dedup vs self + the committed bucket index; candidate
         # text lookups come from the SEEN table (exact survivors of
-        # all prior batches, including near-dropped ones)
+        # all prior batches, including near-dropped ones), read
+        # excluding this batch's own stamp for the same replay reason
         history_text = (
-            seen_table.read(spark) if seen_table.snapshots()
+            seen_table.read_excluding_meta(spark, meta,
+                                           schema=SEEN_SCHEMA)
+            if seen_table.snapshots()
             else s3.select("doc_id", "text").limit(0)
         )
         pairs = run_dedup_incremental(
@@ -140,7 +148,29 @@ def run_streaming_corpus_prep(
             bands=bands,
             commit_meta=meta,
         )
-        near_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        # first-seen-wins orientation: a batch doc matching HISTORY is
+        # dropped regardless of id order (pairs are (min,max) by id,
+        # so with id reuse / multi-source feeds the new doc can be
+        # id_a); within the batch the larger id drops.
+        new_ids = s3.select(F.col("doc_id").alias("_nid")) \
+            .localCheckpoint(eager=True)
+        na = new_ids.select(F.col("_nid").alias("_a_nid"),
+                            F.lit(True).alias("_a_new"))
+        nb = new_ids.select(F.col("_nid").alias("_b_nid"),
+                            F.lit(True).alias("_b_new"))
+        marked = (
+            pairs
+            .join(na, pairs["id_a"] == na["_a_nid"], "left")
+            .join(nb, pairs["id_b"] == nb["_b_nid"], "left")
+        )
+        a_new = F.coalesce(F.col("_a_new"), F.lit(False))
+        b_new = F.coalesce(F.col("_b_new"), F.lit(False))
+        near_ids = (
+            marked.select(
+                F.when(a_new & ~b_new, F.col("id_a"))
+                .otherwise(F.col("id_b")).alias("doc_id"))
+            .distinct()
+        )
         d_near = s3.join(near_ids, on="doc_id", how="left_semi").select(
             "doc_id", F.lit(STAGE_NEAR).alias("stage"))
         s4 = s3.join(near_ids, on="doc_id", how="left_anti")
