@@ -362,3 +362,37 @@ def test_sample_tokens_per_stratum_budget_and_stability(spark):
     again = {r["doc_id"] for r in sample_tokens_per_stratum(
         df.repartition(7), {"en": 20, "de": 15}).collect()}
     assert again == set(per)
+
+
+def test_pack_sequences_exact_replay_and_invariants(spark):
+    import hashlib
+
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range((i % 7) + 2)))
+            for i in range(40)] + [(100, ""), (101, "   ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    L = 16
+    got = {r["seq_id"]: r for r in pack_sequences(df, L).collect()}
+
+    # independent replay
+    docs = [(i, t.split()) for i, t in rows if t.split()]
+    docs.sort(key=lambda d: hashlib.md5(f"pack|{d[0]}".encode())
+              .hexdigest())
+    stream = [w for _, ws in docs for w in ws]
+    expect = {k: stream[k * L:(k + 1) * L]
+              for k in range((len(stream) + L - 1) // L)}
+    assert set(got) == set(expect)
+    for k, toks in expect.items():
+        assert got[k]["seq_text"].split() == toks, k
+        assert got[k]["n_tokens"] == len(toks)
+        assert got[k]["complete"] == int(len(toks) == L)
+    # every sequence but (possibly) the last is exactly full
+    full = [k for k in sorted(got) if got[k]["complete"]]
+    assert full == sorted(got)[:len(full)]
+    # stable under repartitioning
+    again = {r["seq_id"]: r["seq_text"] for r in
+             pack_sequences(df.repartition(7), L).collect()}
+    assert again == {k: r["seq_text"] for k, r in got.items()}

@@ -325,3 +325,102 @@ def sample_tokens_per_stratum(
         .drop("_cum")
         .withColumnRenamed("_nt", "n_tokens")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents in deterministic
+    hash order are concatenated and cut into fixed ``seq_len``-token
+    training sequences (boundaries fall mid-document — the standard
+    pretraining packing, zero padding waste except the final tail).
+
+    Scale design — the two-pass partitioned prefix sum again, never a
+    global sort: the order key is md5(seed|id) and the bucket is its
+    2-hex-char prefix (256 order-preserving buckets; offsets are
+    bounded driver metadata). Each document maps to its global token
+    interval [start, start+n); it explodes into one row per sequence
+    window it overlaps (a document touches ceil(n/seq_len)+1 windows
+    at most), carrying ONLY the token slice that lands in that
+    window; one shuffle groups slices by window id. Deterministic in
+    (id, seed): re-running materializes identical sequences, and the
+    window id is a stable global address (resume = skip committed
+    windows).
+
+    Returns (seq_id, n_docs, n_tokens, seq_text, complete) — the
+    final partial window has complete = 0.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    tokens = F.filter(F.split(F.col(text_col), " "),
+                      lambda w: w != F.lit(""))
+    key = F.md5(F.concat_ws("|", F.lit(seed),
+                            F.col(id_col).cast("string")))
+    staged = (
+        df.select(F.col(id_col).alias("id"), tokens.alias("_ws"),
+                  key.alias("_k"))
+        .withColumn("_nt", F.size("_ws"))
+        .where(F.col("_nt") > 0)
+        .withColumn("_bucket", F.substring("_k", 1, 2))
+    )
+    totals = staged.groupBy("_bucket").agg(
+        F.sum("_nt").alias("_t")).collect()
+    totals.sort(key=lambda r: r["_bucket"])
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["_bucket"], acc))
+        acc += r["_t"]
+    spark = df.sparkSession
+    if not offsets:
+        return spark.createDataFrame(
+            [], "seq_id long, n_docs long, n_tokens long, "
+                "seq_text string, complete int")
+    offsets_df = spark.createDataFrame(
+        offsets, "_bucket string, _off long")
+
+    w = Window.partitionBy("_bucket").orderBy("_k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    start = (F.col("_off") + F.sum("_nt").over(w) - F.col("_nt"))
+    placed = (
+        staged.join(F.broadcast(offsets_df), "_bucket")
+        .withColumn("_start", start)
+    )
+    L = F.lit(seq_len)
+    win = F.explode(F.sequence(
+        F.floor(F.col("_start") / L),
+        F.floor((F.col("_start") + F.col("_nt") - 1) / L))).alias("_win")
+    pieces = placed.select("_ws", "_nt", "_start", win).select(
+        F.col("_win"),
+        F.col("_start"),
+        F.greatest(F.col("_win") * L, F.col("_start")).alias("_from"),
+        F.least((F.col("_win") + 1) * L,
+                F.col("_start") + F.col("_nt")).alias("_to"),
+        "_ws",
+    ).select(
+        "_win", "_start",
+        ((F.col("_to") - F.col("_from"))).alias("_len"),
+        F.array_join(
+            F.slice("_ws",
+                    (F.col("_from") - F.col("_start") + 1).cast("int"),
+                    (F.col("_to") - F.col("_from")).cast("int")),
+            " ").alias("_piece"),
+    )
+    return (
+        pieces.groupBy(F.col("_win").alias("seq_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_len").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("_start"), F.col("_piece")))),
+                    lambda s: s["_piece"]),
+                " ").alias("seq_text"),
+        )
+        .withColumn("complete",
+                    (F.col("n_tokens") == seq_len).cast("int"))
+    )
