@@ -153,3 +153,21 @@ def test_topk_operators_plan_as_heaps(spark):
     # must still be heap-based
     plan = _plan(zipf_slope(df, top_n=10))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_prefix_sum_operators_never_single_partition(spark):
+    """token-budget mixture and sequence packing must keep their
+    running sums partitioned (stratum / md5-prefix bucket) — a
+    SinglePartition exchange means the global-sort regression."""
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        pack_sequences,
+        sample_tokens_per_stratum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", "w x y z") for i in range(50)],
+        ["doc_id", "lang", "text"])
+    plan = _plan(sample_tokens_per_stratum(df, {"en": 50, "de": 50}))
+    assert "SinglePartition" not in plan, plan
+    plan = _plan(pack_sequences(df, 16))
+    assert "SinglePartition" not in plan, plan
