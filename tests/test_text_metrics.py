@@ -173,3 +173,27 @@ def test_mojibake_score_counts_artifacts(spark):
     assert got[2]["mojibake_per_100_chars"] > 10
     assert got[3]["mojibake_count"] == 0 and \
         got[3]["mojibake_per_100_chars"] == 0.0
+
+
+
+def test_fix_mojibake_repairs_double_decoding(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.text_metrics import (
+        fix_mojibake,
+    )
+
+    good = "caf\u00e9 ser\u00e1 \u201cbonito\u201d"
+    double = good.encode("utf-8").decode("latin-1")
+    rows = [
+        (1, double),                     # repaired exactly
+        (2, "plain ascii text"),         # untouched, no artifacts
+        (3, "caf\u00e9 already fine"),  # legit accents -> invalid
+                                         # UTF-8 round trip -> untouched
+        (4, None),                       # NULL passes through
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["repaired"])
+           for r in fix_mojibake(df).collect()}
+    assert got[1] == (good, 1)
+    assert got[2] == ("plain ascii text", 0)
+    assert got[3] == ("caf\u00e9 already fine", 0)
+    assert got[4][0] is None

@@ -358,3 +358,42 @@ def mojibake_score(df: DataFrame, text_col: str = "text",
             F.when(length > 0, n * 100.0 / length).otherwise(0.0), 6
         ).alias("mojibake_per_100_chars"),
     )
+
+
+def fix_mojibake(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Repair UTF-8-as-Latin-1 double decoding (the artifact family
+    :func:`mojibake_score` detects): re-encode the text as Latin-1 and
+    re-decode as UTF-8 — on genuinely double-decoded text this inverts
+    the corruption exactly.
+
+    The repair is GUARDED, applied only when it provably helps:
+    the text must be Latin-1-representable (else encode() substitutes
+    '?'), must contain artifacts at all, the candidate must strictly
+    reduce the artifact count, and must introduce no new replacement
+    characters (a false positive on legitimate text decodes to
+    invalid UTF-8 and fails these guards). Pure JVM expression —
+    encode/decode/regexp_count — no Python, pipelines with the scan.
+
+    Returns (id, text, repaired:int) with ``text`` fixed where the
+    guards passed.
+    """
+    text = F.col(text_col)
+    as_bytes = F.encode(text, "ISO-8859-1")
+    # ANSI mode: decode(_, 'UTF-8') THROWS on invalid bytes, so the
+    # validity check must gate the decode (CASE WHEN short-circuits
+    # per row); text that isn't double-decoded simply fails the gate.
+    decodable = (
+        ~text.rlike("[^\\x00-\\xff]")       # Latin-1-representable
+        & F.expr(f"is_valid_utf8(encode({text_col}, 'ISO-8859-1'))")
+    )
+    candidate = F.when(decodable, F.decode(as_bytes, "UTF-8")) \
+        .otherwise(text)
+    score = F.regexp_count(text, F.lit(_MOJIBAKE_RE))
+    cand_score = F.regexp_count(candidate, F.lit(_MOJIBAKE_RE))
+    use = decodable & (score > 0) & (cand_score < score)
+    return df.select(
+        F.col(id_col),
+        F.when(use, candidate).otherwise(text).alias("text"),
+        use.cast("int").alias("repaired"),
+    )

@@ -3623,6 +3623,38 @@ def q_packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), 512).orderBy("seq_id")
 
 
+# The clean suffix and its UTF-8-read-as-Latin-1 corruption, computed
+# (not source literals — the corrupted form contains control chars).
+_MOJI_GOOD = " café “ok” fin"
+_MOJI_BAD = _MOJI_GOOD.encode("utf-8").decode("latin-1")
+
+
+@_register(
+    "mojibake_repair",
+    f"""
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 2 = 0
+                        THEN '{_MOJI_GOOD}' ELSE '' END AS text,
+           (doc_id % 2 = 0)::INT AS repaired
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style double-decode repair: half the corpus gains a
+    PLANTED UTF-8-as-Latin-1 corrupted suffix; fix_mojibake must
+    invert it exactly (guarded encode/decode round trip, pure JVM)
+    while leaving clean documents byte-identical — the oracle states
+    the repaired text in closed form."""
+    from .operators.text_metrics import fix_mojibake
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.col("text"), F.lit(_MOJI_BAD)))
+        .otherwise(F.col("text")))
+    return fix_mojibake(docs).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Driver-evidence scheduling.
 #
@@ -3658,6 +3690,7 @@ _DRIVER_PRIORITY = [
     "domain_hits",
     "token_budget_mixture",
     "packed_training_sequences",
+    "mojibake_repair",
     # -- never driver-checked through round 3 (VERDICT r3, wrong #1) --
     "dedup_keep_list",
     "repetition_metrics",
