@@ -80,3 +80,37 @@ def test_full_pipeline_end_to_end(spark, tmp_path):
     assert {r["split"] for r in rows} <= {"train", "val"}
     assert all(r["shard"] >= 0 and r["n_tokens"] > 0 for r in rows)
     assert len(rows) == len(kept_ids)
+
+    # -- stage 5: encoding repair → quality signals → retrieval →
+    # packed training sequences (the round-4 surface, chained on the
+    # same real outputs)
+    from zzzarchived_arxiv_fulltext_spark.operators.quality_rules import (
+        gopher_quality_signals,
+    )
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        pack_sequences,
+    )
+    from zzzarchived_arxiv_fulltext_spark.operators.search import (
+        bm25_search,
+    )
+    from zzzarchived_arxiv_fulltext_spark.operators.text_metrics import (
+        fix_mojibake,
+    )
+
+    repaired = fix_mojibake(kept)
+    assert repaired.where("repaired = 1").count() == 0  # clean corpus
+
+    signals = {r["doc_id"]: r for r in
+               gopher_quality_signals(repaired).collect()}
+    assert all(s["alpha_word_frac"] == 1.0 for s in signals.values())
+
+    hits = bm25_search(repaired, ["fox"], k=5).collect()
+    en_rep = [i for i in cluster if keep[i]][0]
+    assert en_rep in {r["doc_id"] for r in hits}   # English rep found
+    assert "txt-2" not in {r["doc_id"] for r in hits}  # no 'fox'
+
+    packed = pack_sequences(repaired, 16).collect()
+    stream_tokens = sum(r["n_tokens"] for r in packed)
+    doc_tokens = sum(len(r["text"].split()) for r in repaired.collect())
+    assert stream_tokens == doc_tokens           # nothing lost/invented
+    assert sum(1 for r in packed if not r["complete"]) <= 1
