@@ -196,4 +196,4 @@ def test_fix_mojibake_repairs_double_decoding(spark):
     assert got[1] == (good, 1)
     assert got[2] == ("plain ascii text", 0)
     assert got[3] == ("caf\u00e9 already fine", 0)
-    assert got[4][0] is None
+    assert got[4] == (None, 0)   # NULL text -> flag 0, never NULL

@@ -119,6 +119,44 @@ def _order_bucket(df: DataFrame, id_col: str, prefix_len: int,
     return None
 
 
+def _bucketed_running_sum(staged: DataFrame, bucket_col: str,
+                          n_col: str, order_cols,
+                          out_col: str = "_run"):
+    """EXCLUSIVE global running sum of ``n_col`` in (bucket, order)
+    order WITHOUT a global sort — the shared two-pass machinery under
+    :func:`shard_by_token_budget` and :func:`pack_sequences`.
+
+    Pass 1 aggregates per-bucket totals (map-side combined) whose
+    cumulative offsets are bounded driver metadata broadcast back;
+    pass 2 runs the within-bucket running sum as a bucket-partitioned
+    window (never SinglePartition). Python's str sort (code points)
+    matches Spark's UTF-8 binary string order, so the driver-side
+    cumsum is ordered identically to the executor-side windows.
+    Returns ``staged`` + ``out_col`` (None when staged is empty);
+    triggers one bounded aggregate action.
+    """
+    totals = staged.groupBy(bucket_col).agg(
+        F.sum(n_col).alias("_t")).collect()
+    totals.sort(key=lambda r: r[bucket_col])
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r[bucket_col], acc))
+        acc += r["_t"]
+    if not offsets:
+        return None
+    bucket_type = staged.schema[bucket_col].dataType.simpleString()
+    offsets_df = staged.sparkSession.createDataFrame(
+        offsets, f"`{bucket_col}` {bucket_type}, _bps_off long")
+    w = Window.partitionBy(bucket_col).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    within = F.sum(n_col).over(w) - F.col(n_col)
+    return (
+        staged.join(F.broadcast(offsets_df), bucket_col)
+        .withColumn(out_col, F.col("_bps_off") + within)
+        .drop("_bps_off")
+    )
+
+
 def shard_by_token_budget(
     df: DataFrame,
     budget_tokens: int,
@@ -162,34 +200,19 @@ def shard_by_token_budget(
             shard_col, F.floor(running / budget_tokens).cast("int")
         ).withColumn("n_tokens", n_tokens)
 
-    bucket_expr, bucket_type = bucketing
+    bucket_expr, _bucket_type = bucketing
     staged = (df.withColumn("_tb_bucket", bucket_expr)
                 .withColumn("_tb_n", n_tokens))
-
-    # pass 1: per-bucket totals → exclusive cumulative offsets.
-    # Python's str sort (code points) matches Spark's UTF-8 binary
-    # string order, so the driver-side cumsum is ordered identically.
-    totals = staged.groupBy("_tb_bucket").agg(
-        F.sum("_tb_n").alias("_t")).collect()
-    totals.sort(key=lambda r: r["_tb_bucket"])
-    offsets, acc = [], 0
-    for r in totals:
-        offsets.append((r["_tb_bucket"], acc))
-        acc += r["_t"]
-    spark = df.sparkSession
-    offsets_df = spark.createDataFrame(
-        offsets, f"_tb_bucket {bucket_type}, _tb_offset long")
-
-    # pass 2: within-bucket running sum + broadcast offset
-    w = Window.partitionBy("_tb_bucket").orderBy(id_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    within = F.sum("_tb_n").over(w) - F.col("_tb_n")
+    placed = _bucketed_running_sum(
+        staged, "_tb_bucket", "_tb_n", [id_col], out_col="_tb_run")
+    if placed is None:
+        return (df.withColumn(shard_col, F.lit(0))
+                  .withColumn("n_tokens", n_tokens))
     return (
-        staged.join(F.broadcast(offsets_df), "_tb_bucket")
+        placed
         .withColumn(
             shard_col,
-            F.floor((F.col("_tb_offset") + within) / budget_tokens)
-            .cast("int"))
+            F.floor(F.col("_tb_run") / budget_tokens).cast("int"))
         .withColumn("n_tokens", F.col("_tb_n"))
         .select(*df.columns, shard_col, "n_tokens")
     )
@@ -312,7 +335,9 @@ def sample_tokens_per_stratum(
                               F.col(id_col).cast("string")))
     n_tokens = F.size(F.filter(F.split(F.col(text_col), " "),
                                lambda w: w != F.lit("")))
-    w = (Window.partitionBy(stratum_col).orderBy(order)
+    # id tie-break: duplicate ids share a hash key; the kept set must
+    # not depend on partition layout
+    w = (Window.partitionBy(stratum_col).orderBy(order, F.col(id_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     budget = F.lit(None).cast("long")
     for k, v in sorted(budgets.items()):
@@ -367,28 +392,15 @@ def pack_sequences(
         .where(F.col("_nt") > 0)
         .withColumn("_bucket", F.substring("_k", 1, 2))
     )
-    totals = staged.groupBy("_bucket").agg(
-        F.sum("_nt").alias("_t")).collect()
-    totals.sort(key=lambda r: r["_bucket"])
-    offsets, acc = [], 0
-    for r in totals:
-        offsets.append((r["_bucket"], acc))
-        acc += r["_t"]
-    spark = df.sparkSession
-    if not offsets:
-        return spark.createDataFrame(
+    # order = (key, id): the id tie-break makes duplicate ids (same
+    # md5 key) deterministic too — window addresses must never depend
+    # on partition layout
+    placed = _bucketed_running_sum(
+        staged, "_bucket", "_nt", ["_k", "id"], out_col="_start")
+    if placed is None:
+        return df.sparkSession.createDataFrame(
             [], "seq_id long, n_docs long, n_tokens long, "
                 "seq_text string, complete int")
-    offsets_df = spark.createDataFrame(
-        offsets, "_bucket string, _off long")
-
-    w = Window.partitionBy("_bucket").orderBy("_k").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    start = (F.col("_off") + F.sum("_nt").over(w) - F.col("_nt"))
-    placed = (
-        staged.join(F.broadcast(offsets_df), "_bucket")
-        .withColumn("_start", start)
-    )
     L = F.lit(seq_len)
     win = F.explode(F.sequence(
         F.floor(F.col("_start") / L),

@@ -375,8 +375,9 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
     invalid UTF-8 and fails these guards). Pure JVM expression —
     encode/decode/regexp_count — no Python, pipelines with the scan.
 
-    Returns (id, text, repaired:int) with ``text`` fixed where the
-    guards passed.
+    Schema-preserving: ``text_col`` is replaced in place and a
+    ``repaired`` 0/1 flag appended (0 for NULL text) — all other
+    columns pass through, so the repair composes mid-funnel.
     """
     text = F.col(text_col)
     as_bytes = F.encode(text, "ISO-8859-1")
@@ -385,15 +386,25 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
     # per row); text that isn't double-decoded simply fails the gate.
     decodable = (
         ~text.rlike("[^\\x00-\\xff]")       # Latin-1-representable
-        & F.expr(f"is_valid_utf8(encode({text_col}, 'ISO-8859-1'))")
+        & F.is_valid_utf8(as_bytes)
     )
     candidate = F.when(decodable, F.decode(as_bytes, "UTF-8")) \
         .otherwise(text)
     score = F.regexp_count(text, F.lit(_MOJIBAKE_RE))
     cand_score = F.regexp_count(candidate, F.lit(_MOJIBAKE_RE))
-    use = decodable & (score > 0) & (cand_score < score)
-    return df.select(
-        F.col(id_col),
-        F.when(use, candidate).otherwise(text).alias("text"),
-        use.cast("int").alias("repaired"),
+    repl = F.lit("�")
+    no_new_repl = (F.regexp_count(candidate, repl)
+                   <= F.regexp_count(text, repl))
+    use = F.coalesce(
+        decodable & (score > 0) & (cand_score < score) & no_new_repl,
+        F.lit(False))
+    # flag FIRST (bound to the original text), then replace the text
+    # gated on the materialized flag — a flag computed after the
+    # replacement would re-evaluate against the repaired text and
+    # always read 0
+    return (
+        df.withColumn("repaired", use.cast("int"))
+        .withColumn(text_col,
+                    F.when(F.col("repaired") == 1, candidate)
+                    .otherwise(text))
     )

@@ -3590,7 +3590,7 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 AS (SELECT *, len(ws) AS nt FROM t WHERE len(ws) > 0),
     o AS (
       SELECT doc_id, ws, nt, k,
-             coalesce(sum(nt) OVER (ORDER BY k
+             coalesce(sum(nt) OVER (ORDER BY k, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS start
       FROM t2
@@ -3652,7 +3652,8 @@ def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 2 == 0,
                F.concat(F.col("text"), F.lit(_MOJI_BAD)))
         .otherwise(F.col("text")))
-    return fix_mojibake(docs).orderBy("doc_id")
+    return (fix_mojibake(docs)
+            .select("doc_id", "text", "repaired").orderBy("doc_id"))
 
 
 # --------------------------------------------------------------------------
