@@ -3656,6 +3656,73 @@ def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "text", "repaired").orderBy("doc_id"))
 
 
+@_register(
+    "inter_event_gaps",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           count(gap_us)::BIGINT AS n_gaps,
+           round(avg(gap_us / 1e6), 6) AS avg_gap_sec,
+           round(max(gap_us / 1e6), 6) AS max_gap_sec
+    FROM g GROUP BY user_id
+    HAVING count(gap_us) > 0
+    ORDER BY user_id
+    """,
+)
+def q_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics via lag() over the user's
+    event-time order (event_id tie-break) — one shuffle on user_id,
+    the window and the aggregate share it. TIMESTAMP_NTZ diffs via
+    unix_micros (the cast-to-double trap)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"))
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    gaps = ev.withColumn("_gap", F.col("_us") - F.lag("_us").over(w))
+    return (
+        gaps.groupBy("user_id")
+        .agg(F.count("_gap").cast("long").alias("n_gaps"),
+             F.round(F.avg(F.col("_gap") / 1e6), 6).alias("avg_gap_sec"),
+             F.round(F.max(F.col("_gap") / 1e6), 6).alias("max_gap_sec"))
+        .where(F.col("n_gaps") > 0)
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "purchase_value_medians",
+    """
+    SELECT user_id,
+           count(*)::BIGINT AS n_purchases,
+           round(quantile_cont(value, 0.5), 6) AS median_value,
+           round(quantile_cont(value, 0.9), 6) AS p90_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id HAVING count(*) >= 3 ORDER BY user_id
+    """,
+)
+def q_purchase_value_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group medians/percentiles (Spark percentile ==
+    DuckDB quantile_cont, linear interpolation) — grouped aggregation,
+    map-side partial, never a global sort."""
+    ev = _events(spark, sf_dir).where("event_type = 'purchase'")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_purchases"),
+             F.round(F.percentile("value", F.lit(0.5)), 6)
+             .alias("median_value"),
+             F.round(F.percentile("value", F.lit(0.9)), 6)
+             .alias("p90_value"))
+        .where(F.col("n_purchases") >= 3)
+        .orderBy("user_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-evidence scheduling.
 #
@@ -3692,6 +3759,8 @@ _DRIVER_PRIORITY = [
     "token_budget_mixture",
     "packed_training_sequences",
     "mojibake_repair",
+    "inter_event_gaps",
+    "purchase_value_medians",
     # -- never driver-checked through round 3 (VERDICT r3, wrong #1) --
     "dedup_keep_list",
     "repetition_metrics",
