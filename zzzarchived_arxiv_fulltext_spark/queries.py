@@ -3723,6 +3723,48 @@ def q_purchase_value_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "event_transition_matrix",
+    """
+    WITH s AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, count(*) AS n FROM s
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n::BIGINT AS n,
+           round(n / sum(n) OVER (PARTITION BY src), 6) AS p
+    FROM c ORDER BY src, dst
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (behavior-model prep): lead() over the user partition,
+    pair counts, row-normalized probabilities. The normalizing window
+    partitions by src (bounded type vocabulary — never
+    SinglePartition over data-scale rows)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"))
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    pairs = (
+        ev.withColumn("dst", F.lead("event_type").over(w))
+        .where(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    norm = Window.partitionBy("src")
+    return (
+        pairs.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(norm), 6))
+        .orderBy("src", "dst")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-evidence scheduling.
 #
@@ -3761,6 +3803,7 @@ _DRIVER_PRIORITY = [
     "mojibake_repair",
     "inter_event_gaps",
     "purchase_value_medians",
+    "event_transition_matrix",
     # -- never driver-checked through round 3 (VERDICT r3, wrong #1) --
     "dedup_keep_list",
     "repetition_metrics",
