@@ -278,56 +278,6 @@ def test_weighted_sample_topk_plans_as_topk(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_weighted_sample_topk_matches_exact_replay(spark):
-    """A-ES selection must equal an exact Python replay of the same
-    hash-uniform keys, and heavy docs must dominate inclusion."""
-    import hashlib
-    import math
-
-    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
-        weighted_sample_topk,
-    )
-
-    rows = [(i, (i % 10) + 1) for i in range(200)] + [
-        (900, None), (901, 0), (902, -5)]      # excluded weights
-    df = spark.createDataFrame(rows, "doc_id long, w long")
-    got = sorted(r["doc_id"]
-                 for r in weighted_sample_topk(df, "w", 30).collect())
-
-    def es_key(i, w):
-        h = int(hashlib.md5(f"ws|{i}".encode()).hexdigest()[:8], 16)
-        u = (float(h) + 1.0) / float((1 << 32) + 1)
-        return math.log(u) / w
-
-    expect = sorted(i for i, _ in sorted(
-        ((i, es_key(i, w)) for i, w in rows if w and w > 0),
-        key=lambda t: -t[1])[:30])
-    assert got == expect
-    # inclusion leans heavy: mean weight of the sample > corpus mean
-    wmap = dict(rows)
-    assert sum(wmap[i] for i in got) / 30 > 5.5
-
-
-def test_weighted_sample_topk_plans_as_topk(spark):
-    """orderBy().limit(k) must plan as TakeOrderedAndProject — a
-    per-partition heap merge, never a global sort."""
-    import contextlib
-    import io
-
-    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
-        weighted_sample_topk,
-    )
-
-    df = spark.range(1000).select(
-        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w"))
-    out = weighted_sample_topk(df, "w", 10)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        out.explain("formatted")
-    plan = buf.getvalue()
-    assert "TakeOrderedAndProject" in plan, plan
-
-
 def test_sample_tokens_per_stratum_budget_and_stability(spark):
     import hashlib
 

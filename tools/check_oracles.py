@@ -20,24 +20,73 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 
 def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    try:
-        import decimal
-        if isinstance(v, decimal.Decimal):
-            return round(float(v), 9)
-    except Exception:
-        pass
+    # Exact value comparison (the driver hash-compares exact values);
+    # only NaN needs a sentinel because NaN != NaN.
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
     return v
 
 
-def compare(name, spark_df, duck_rows, duck_cols):
+def spark_type_class(dt) -> str:
+    """Collapse a Spark DataType to the class the driver's hash is
+    sensitive to: int widths collapse, float widths collapse, but
+    int / float / decimal / str / bool / temporal stay distinct."""
+    s = dt.simpleString().lower()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s in ("string", "varchar", "char"):
+        return "str"
+    if s == "boolean":
+        return "bool"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    return s  # date, binary, array<...>, map<...>, struct<...>
+
+
+def duck_type_class(t) -> str:
+    """Same collapse for a DuckDB result type. HUGEINT is deliberately
+    its OWN class: DuckDB integer sum() returns HUGEINT (int128), which
+    the driver's pandas/arrow hash distinguishes from Spark BIGINT even
+    when values are equal (the round-4 repetition_metrics failure)."""
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if s in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s in ("VARCHAR", "CHAR", "TEXT"):
+        return "str"
+    if s == "BOOLEAN":
+        return "bool"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    return s.lower()
+
+
+def compare(name, spark_df, duck_rows, duck_cols, duck_types=None):
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_cols)
     if s_cols != d_cols:
         return f"SCHEMA mismatch: spark={s_cols} duck={d_cols}"
+    if duck_types is not None:
+        s_class = {f.name: spark_type_class(f.dataType)
+                   for f in spark_df.schema.fields}
+        d_class = {c: duck_type_class(t)
+                   for c, t in zip(duck_cols, duck_types)}
+        bad = [(c, s_class[c], d_class[c]) for c in s_cols
+               if s_class[c] != d_class[c]]
+        if bad:
+            return ("TYPE mismatch (driver hash is type-sensitive): "
+                    + ", ".join(f"{c}: spark={a} duck={b}"
+                                for c, a, b in bad))
     s_rows = spark_df.collect()
     if len(s_rows) != len(duck_rows):
         return f"ROWCOUNT mismatch: spark={len(s_rows)} duck={len(duck_rows)}"
@@ -92,14 +141,15 @@ def main():
             print(f"[rows-only] {name}: {n} rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_rows = res.fetchall()
-            duck_cols = [d[0] for d in res.description]
+            rel = con.sql(oracles[name])
+            duck_cols = list(rel.columns)
+            duck_types = list(rel.types)
+            duck_rows = rel.fetchall()
         except Exception as ex:
             print(f"[FAIL] {name}: duckdb raised {ex}")
             failures += 1
             continue
-        err = compare(name, df, duck_rows, duck_cols)
+        err = compare(name, df, duck_rows, duck_cols, duck_types)
         if err:
             print(f"[FAIL] {name}: {err}")
             failures += 1

@@ -303,7 +303,10 @@ def weighted_sample_topk(
     return (
         df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
         .withColumn("_es_key", es_key)
-        .orderBy(F.desc("_es_key"))
+        # key_col tie-break: duplicate key values share an md5-derived
+        # _es_key, and without it the boundary pick is partition-order
+        # dependent — breaking the deterministic/resumable contract
+        .orderBy(F.desc("_es_key"), F.col(key_col))
         .limit(k)
         .drop("_es_key")
     )

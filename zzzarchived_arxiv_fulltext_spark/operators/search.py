@@ -78,8 +78,16 @@ def bm25_search(df: DataFrame, query_terms: Sequence[str], k: int = 10,
                    F.avg("dl").alias("avgdl")).first()
     n_docs, avgdl = stats["n"], stats["avgdl"]
     if not n_docs:
+        # empty-corpus result must keep the REAL id type (string doc
+        # ids from pdf_to_spans, not just long) or downstream
+        # unions/joins break on schema
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
         return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, score double")
+            [], StructType([
+                StructField(id_col, df.schema[id_col].dataType),
+                StructField("score", DoubleType()),
+            ]))
 
     tf = (
         words.where(F.col("term").isin(terms))

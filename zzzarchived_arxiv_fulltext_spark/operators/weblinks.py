@@ -23,8 +23,11 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# scheme://host[:port]/path — host is group 1, path group 2
-_URL_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)[:0-9]*([^?#]*)"
+# scheme://[userinfo@]host[:port]/path — host is group 1, path group 2.
+# The optional non-capturing userinfo segment matters for safety:
+# without it 'https://user@blocked.com/x' parses its host as
+# 'user@blocked.com' and silently bypasses the domain blocklist.
+_URL_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]+)[:0-9]*([^?#]*)"
 
 
 def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -189,7 +192,7 @@ def canonicalize_url(url_col) -> "F.Column":
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(url, _URL_RE, 1))
     port = F.regexp_extract(
-        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:(\d+)", 1)
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#@]+:(\d+)", 1)
     is_default = (
         (port == "")
         | ((scheme == "http") & (port == "80"))

@@ -2147,7 +2147,7 @@ def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_c
       FROM gc GROUP BY doc_id
     )
-    SELECT w.doc_id, w.n_words,
+    SELECT w.doc_id, CAST(w.n_words AS BIGINT) AS n_words,
            round(w.n_distinct / w.n_words, 6) AS distinct_word_ratio,
            round(w.top_word_c / w.n_words, 6) AS top_word_fraction,
            round(g.top_bigram_c / g.n_bigrams, 6) AS top_bigram_fraction
@@ -3076,7 +3076,8 @@ def q_normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n_chars IS NOT NULL AND n_chars > 0
     )
     SELECT doc_id, n_chars FROM (
-      SELECT doc_id, n_chars FROM keyed ORDER BY es_key DESC LIMIT 100
+      SELECT doc_id, n_chars FROM keyed
+      ORDER BY es_key DESC, doc_id LIMIT 100
     ) ORDER BY doc_id
     """,
 )
@@ -3778,64 +3779,59 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of position.
 # --------------------------------------------------------------------------
 
-_DRIVER_PRIORITY = [
-    # -- new this round (round 4): never had a chance to be checked --
-    "url_domain_stats",
-    "blocked_domain_filter",
-    "domain_pagerank",
-    "mojibake_scores",
-    "normalized_dedup_groups",
-    "weighted_doc_sample",
-    "zipf_law_fit",
-    "gopher_quality_signals",
-    "c4_line_cleaning",
-    "canonical_url_dedup",
-    "domain_doc_cap",
-    "bpe_pair_counts",
-    "html_link_graph",
-    "corpus_version_diff",
-    "pdf_page_furniture_strip",
-    "inverted_index_postings",
-    "bm25_topk_search",
-    "domain_hits",
-    "token_budget_mixture",
-    "packed_training_sequences",
-    "mojibake_repair",
-    "inter_event_gaps",
-    "purchase_value_medians",
-    "event_transition_matrix",
-    # -- never driver-checked through round 3 (VERDICT r3, wrong #1) --
-    "dedup_keep_list",
-    "repetition_metrics",
-    "dedup_doc_lines",
-    "tfidf_top_terms",
-    "unigram_surprisal",
-    "global_boilerplate_removal",
-    "mixed_format_ingestion",
-    "deterministic_shuffle",
-    "length_bucket_stats",
-    "language_slice_divergence",
-    "benchmark_containment",
-    "event_sequence_funnel",
-    "cohort_retention",
-    "daily_revenue_moving_avg",
-    "props_json_stats",
-    "html_metadata_extraction",
-    "bigram_surprisal",
-    "length_percentile_ranks",
-    "session_windows_native",
-    "flatten_props_json",
-    "user_event_pivot",
-    "event_grouping_sets",
-    # -- last driver-checked in round 2 --
-    "embedding_near_duplicates",
-]
+def _driver_staleness_order() -> list:
+    """Order queries by how badly they need fresh driver evidence:
+
+    1. queries whose LATEST driver check failed (need a green row ASAP),
+    2. then by the round of their latest driver check, oldest first
+       (never-checked queries sort as round 0, i.e. to the front),
+    3. registration order as the deterministic tie-break.
+
+    Evidence is read from the committed ``CORRECTNESS_r*.json`` files at
+    the repo root, so the rotation maintains itself — a new query or a
+    stale one surfaces automatically instead of via a hand-curated list
+    (VERDICT r4 #4).
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    latest: dict = {}  # name -> (round, passed)
+    root = Path(__file__).resolve().parent.parent
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except Exception:
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, v in rows.items():
+            if name in latest and latest[name][0] >= rnd:
+                continue
+            if isinstance(v, dict):
+                ok = (bool(v.get("rows_match"))
+                      and v.get("schema_match") is not False
+                      and v.get("hash_match") is not False
+                      and not v.get("err"))
+            else:
+                ok = False
+            latest[name] = (rnd, ok)
+
+    reg_idx = {n: i for i, n in enumerate(QUERIES)}
+
+    def key(name):
+        rnd, ok = latest.get(name, (0, True))
+        return (0 if (name in latest and not ok) else 1, rnd, reg_idx[name])
+
+    return sorted(QUERIES, key=key)
 
 
 def _schedule_for_driver() -> None:
-    head = [n for n in _DRIVER_PRIORITY if n in QUERIES]
-    order = head + [n for n in list(QUERIES) if n not in set(head)]
-    for n in order:
+    for n in _driver_staleness_order():
         QUERIES[n] = QUERIES.pop(n)
         if n in ORACLES:
             ORACLES[n] = ORACLES.pop(n)
