@@ -176,14 +176,14 @@ _ENCRYPT_RE = re.compile(rb"/Encrypt\s*(?:\d+\s+\d+\s+R|<<)")
 def is_encrypted(pdf: bytes) -> bool:
     """True when the file carries an /Encrypt dictionary.
 
-    Encrypted PDFs (even the common empty-user-password RC4/AES ones)
-    have RC4/AES-enciphered stream bodies that no stateless filter
-    chain can decode — callers should classify the document as
-    ``failure_class='encrypted'`` rather than report empty text.
-    The reference's poppler/pdfminer subprocesses decrypted these
-    (``extractor/fulltext/fulltext.py:81-109``); implementing RC4+AES
-    plus the full /ID key derivation is out of scope for the lexical
-    parser, so detection is the contract. /Encrypt lives in the
+    Encrypted PDFs have RC4/AES-enciphered stream bodies that no
+    stateless filter chain can decode. The common empty-password RC4
+    class decrypts via ``pdf_crypt.decrypt_pdf`` (wired into
+    ``extract_pdf_page_texts`` and ``pdf_to_spans``, matching the
+    reference's implicit poppler behavior at
+    ``extractor/fulltext/fulltext.py:81-109``); for AES or real
+    passwords, detection is the contract and callers classify the
+    document as ``failure_class='encrypted'``. /Encrypt lives in the
     trailer dict (classic xref) or an xref-stream dict; to avoid
     false positives on page TEXT containing the token, scope the scan
     to the region after the last ``trailer`` keyword when one exists
@@ -653,6 +653,14 @@ def extract_pdf_page_texts(pdf: bytes) -> List[str]:
     content-stream-per-page PDFs: one entry per page). ToUnicode
     CMaps, when present, decode glyph-ID hex strings back to unicode.
     """
+    if is_encrypted(pdf):
+        # password-less RC4 files decrypt in place (offset-preserving);
+        # AES / real passwords return None and stay 'encrypted'
+        from .pdf_crypt import decrypt_pdf
+
+        dec = decrypt_pdf(pdf)
+        if dec is not None:
+            pdf = dec
     cmap = parse_tounicode_cmaps(pdf)
     pages = []
     for stream in iter_streams(pdf):

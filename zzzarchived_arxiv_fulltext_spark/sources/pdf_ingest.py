@@ -85,6 +85,15 @@ def pdf_to_spans(pdfs: DataFrame, engine: str = "builtin",
             for doc_id, payload in zip(pdf_batch["doc_id"],
                                        pdf_batch["pdf"]):
                 data = bytes(payload) if payload is not None else b""
+                if data and is_encrypted(data):
+                    # empty-password RC4 files become plaintext here;
+                    # is_encrypted() is False on the result, so only
+                    # genuinely locked files classify as 'encrypted'
+                    from ..functions.pdf_crypt import decrypt_pdf
+
+                    dec = decrypt_pdf(data)
+                    if dec is not None:
+                        data = dec
                 if engine == "pdfminer":
                     pages = _pdfminer_page_texts(data)
                 else:
