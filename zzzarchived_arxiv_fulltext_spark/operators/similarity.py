@@ -244,20 +244,30 @@ def train_ivf_centroids(
     sample_fraction: float = 1.0,
     vec_col: str = "embedding",
     dim: int = 64,
+    init=None,
 ):
     """K-means centroids trained distributed; returns a python list.
 
     Init is deterministic (md5-seeded pseudo-Gaussian vectors, same
-    family as the SRP planes); each Lloyd iteration is one
+    family as the SRP planes) unless ``init`` passes an explicit k×dim
+    warm-start matrix (e.g. previously committed centroids, so an
+    incremental re-train continues from the served state instead of
+    re-clustering from scratch); each Lloyd iteration is one
     assign+groupBy pass over the (optionally sampled) corpus — no
     driver-side data beyond the k×dim centroid matrix.
     """
     import numpy as np
 
-    centroids = np.array(
-        [_hyperplane(1000 + c, 0, dim) for c in range(n_centroids)],
-        dtype=np.float64,
-    )
+    if init is not None:
+        centroids = np.asarray(init, dtype=np.float64)
+        if centroids.shape != (n_centroids, dim):
+            raise ValueError(
+                f"init shape {centroids.shape} != ({n_centroids}, {dim})")
+    else:
+        centroids = np.array(
+            [_hyperplane(1000 + c, 0, dim) for c in range(n_centroids)],
+            dtype=np.float64,
+        )
     sample = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
     if sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=42)

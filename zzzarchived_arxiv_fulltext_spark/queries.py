@@ -1883,14 +1883,22 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same planted-duplicate contract as ann_topk_lsh: identical
     # vectors share a nearest centroid, the query's own cluster is
     # always probe #1, so IVF top-3 == brute-force top-3.
-    from .operators.similarity import ivf_topk, train_ivf_centroids
+    #
+    # Train-once/serve-many (VERDICT r4 #7): the quantizer is COMMITTED
+    # to a per-sf snapshot table on first use; later calls load k×dim
+    # instead of re-running Lloyd passes. Results are identical either
+    # way (training is deterministic), so the oracle is unchanged.
+    import hashlib
+
+    from .plans.ivf_index import ivf_topk_indexed
+    from .sources.tables import SnapshotTable
 
     corpus, queries = _planted_ann_inputs(spark, sf_dir)
-    # result is centroid-invariant (identical vectors co-cluster, the
-    # query's own cluster is probe #1) — train on a sample, briefly
-    centroids = train_ivf_centroids(corpus, n_centroids=8, iterations=2,
-                                    sample_fraction=0.5)
-    return ivf_topk(corpus, queries, centroids, k=3, n_probes=3)
+    cache = ("/tmp/spark_graft_ivf_cache/"
+             + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    return ivf_topk_indexed(
+        spark, corpus, queries, SnapshotTable(cache), k=3, n_probes=3,
+        n_centroids=8, iterations=2, sample_fraction=0.5)
 
 
 # --------------------------------------------------------------------------
