@@ -607,31 +607,55 @@ _COLUMN_GAP = 100.0
 _MIN_LAYOUT_LINES = 6
 
 
+def _column_splits(records: List[tuple]) -> List[float]:
+    """Column boundaries from x-start clustering (1-D gap split).
+
+    Greedy widest-gap-first: a candidate boundary is accepted only if
+    every resulting column keeps >= 3 lines, so noise lines (a stray
+    pulled-out quote, an equation number) never fabricate a column.
+    Generalizes the old widest-single-gap two-column logic to any
+    column count — the ``pdf2txt -A`` layout-clustering analogue the
+    reference leaned on (``extractor/fulltext/fulltext.py:112-130``).
+    """
+    from bisect import bisect_right
+
+    xs = sorted({round(r[0]) for r in records})
+    if len(xs) < 2:
+        return []
+    gaps = sorted(((b - a, a, b) for a, b in zip(xs, xs[1:])),
+                  reverse=True)
+    splits: List[float] = []
+    for width, a, b in gaps:
+        if width <= _COLUMN_GAP:
+            break
+        cand = sorted(splits + [(a + b) / 2.0])
+        counts = [0] * (len(cand) + 1)
+        for r in records:
+            counts[bisect_right(cand, r[0])] += 1
+        if min(counts) >= 3:
+            splits = cand
+    return splits
+
+
 def _reading_order(records: List[tuple]) -> List[str]:
     """Order (x, y, seq, text) line records for reading.
 
     With full position info: group same-y records into visual lines
-    (x-ordered), sort top-to-bottom, and split two-column layouts at
-    the widest x-gap (left column first). Otherwise: show order.
+    (x-ordered), sort top-to-bottom, and split multi-column layouts
+    at wide x-gaps (leftmost column first). Otherwise: show order.
     """
+    from bisect import bisect_right
+
     if not records:
         return []
     if len(records) < _MIN_LAYOUT_LINES or \
             any(r[0] is None for r in records):
         return [r[3] for r in records]
 
-    xs = sorted({round(r[0]) for r in records})
-    split = None
-    if len(xs) > 1:
-        gaps = [(b - a, a, b) for a, b in zip(xs, xs[1:])]
-        widest = max(gaps)
-        left_n = sum(1 for r in records if round(r[0]) <= widest[1])
-        right_n = len(records) - left_n
-        if widest[0] > _COLUMN_GAP and left_n >= 3 and right_n >= 3:
-            split = (widest[1] + widest[2]) / 2.0
+    splits = _column_splits(records)
 
     def column(r) -> int:
-        return 0 if split is None or r[0] < split else 1
+        return bisect_right(splits, r[0])
 
     ordered = sorted(records, key=lambda r: (column(r), -r[1], r[0], r[2]))
     lines: List[str] = []
