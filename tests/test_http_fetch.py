@@ -1,0 +1,141 @@
+"""S4/S5 HTTP fetch stage against a real local http.server."""
+
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from zzzarchived_arxiv_fulltext_spark.functions.pdf_text import (
+    make_simple_pdf,
+)
+from zzzarchived_arxiv_fulltext_spark.sources.http_fetch import (
+    _checksum,
+    fetch_documents,
+)
+
+PDF = make_simple_pdf([["Fetched page one."]])
+LATE_HITS = {"n": 0}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # quiet
+        pass
+
+    def do_GET(self):
+        if self.path == "/pdf/good":
+            self._send(200, "application/pdf", PDF)
+        elif self.path == "/pdf/late":
+            # the reference's classic route: 200 with HTML until the
+            # PDF is generated (legacy.py content-type retry loop)
+            LATE_HITS["n"] += 1
+            if LATE_HITS["n"] <= 2:
+                self._send(200, "text/html", b"<html>not yet</html>")
+            else:
+                self._send(200, "application/pdf", PDF)
+        elif self.path == "/pdf/never":
+            self._send(200, "text/html", b"<html>never</html>")
+        elif self.path == "/pdf/big":
+            self._send(200, "application/pdf", b"x" * 100_000)
+        elif self.path == "/pdf/boom":
+            self._send(500, "text/plain", b"boom")
+        else:
+            self._send(404, "text/plain", b"nope")
+
+    def _send(self, code, ctype, body):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture(scope="module")
+def base_url():
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_fetch_classifies_and_checksums(spark, base_url):
+    rows = [("good", f"{base_url}/pdf/good"),
+            ("late", f"{base_url}/pdf/late"),
+            ("never", f"{base_url}/pdf/never"),
+            ("missing", f"{base_url}/pdf/missing"),
+            ("boom", f"{base_url}/pdf/boom"),
+            ("big", f"{base_url}/pdf/big")]
+    df = spark.createDataFrame(rows, "doc_id string, url string")
+    got = {r["doc_id"]: r for r in fetch_documents(
+        df, expect_content_type="application/pdf", retries=5,
+        retry_sleep=0.0, max_bytes=50_000,
+        fetch_partitions=1,  # single worker so LATE_HITS is ordered
+    ).collect()}
+
+    assert got["good"]["failure_class"] is None
+    assert bytes(got["good"]["payload"]) == PDF
+    assert got["good"]["n_bytes"] == len(PDF)
+    assert got["good"]["checksum"] == _checksum(PDF)
+    assert got["good"]["content_type"] == "application/pdf"
+
+    # content-type retry loop recovered the late PDF
+    assert got["late"]["failure_class"] is None
+    assert bytes(got["late"]["payload"]) == PDF
+
+    assert got["never"]["failure_class"] == "wrong_content_type"
+    assert got["never"]["payload"] is None
+    assert got["missing"]["failure_class"] == "not_found"
+    assert got["missing"]["status_code"] == 404
+    assert got["boom"]["failure_class"] == "http_500"
+    # oversize payload → fetch_error, row survives
+    assert got["big"]["failure_class"] == "fetch_error"
+
+
+def test_fetch_feeds_pdf_ingestion(spark, base_url):
+    from pyspark.sql import functions as F
+
+    from zzzarchived_arxiv_fulltext_spark.sources.pdf_ingest import (
+        pdf_to_spans,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", f"{base_url}/pdf/good")], "doc_id string, url string")
+    fetched = fetch_documents(df, expect_content_type="application/pdf",
+                              retry_sleep=0.0)
+    spans = pdf_to_spans(
+        fetched.where(F.col("failure_class").isNull())
+        .select("doc_id", F.col("payload").alias("pdf"))).collect()
+    assert len(spans) == 1
+    assert [s["text"] for s in spans[0]["spans"]] == ["Fetched page one."]
+
+
+def test_injected_fetcher_no_network(spark):
+    def fake(url):
+        if url.endswith("/ok"):
+            return 200, {"content-type": "application/pdf"}, b"%PDF-ok"
+        return 404, {}, b""
+
+    df = spark.createDataFrame(
+        [("a", "fake://x/ok"), ("b", "fake://x/gone")],
+        "doc_id string, url string")
+    got = {r["doc_id"]: r for r in
+           fetch_documents(df, expect_content_type="application/pdf",
+                           fetcher=fake).collect()}
+    assert bytes(got["a"]["payload"]) == b"%PDF-ok"
+    assert got["b"]["failure_class"] == "not_found"
+
+
+def test_fetcher_exception_isolates_per_row(spark):
+    def flaky(url):
+        if "bad" in url:
+            raise RuntimeError("socket reset")
+        return 200, {"content-type": "text/plain"}, b"ok"
+
+    df = spark.createDataFrame(
+        [("a", "fake://good"), ("b", "fake://bad"), ("c", "fake://good2")],
+        "doc_id string, url string")
+    got = {r["doc_id"]: r for r in
+           fetch_documents(df, fetcher=flaky).collect()}
+    assert got["a"]["failure_class"] is None
+    assert got["b"]["failure_class"] == "fetch_error"
+    assert got["c"]["failure_class"] is None
