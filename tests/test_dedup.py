@@ -154,3 +154,52 @@ def test_normalized_dedup_collapses_recased_repunctuated(spark):
     got = {r["id"]: r["group_size"]
            for r in drop_normalized_duplicates(df).collect()}
     assert got == {1: 3, 4: 1}
+
+
+def test_dedup_lines_global_first_occurrence_wins(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.dedup import (
+        dedup_lines_global,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha\nshared line\n\nbeta"),
+         (2, "shared line\ngamma\nshared line"),
+         (3, "delta\n\nshared line")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_lines_global(df).collect()}
+    # doc 1 holds the first (doc_id, idx) occurrence of 'shared line';
+    # blank lines are exempt everywhere
+    assert got[1]["text"] == "alpha\nshared line\n\nbeta"
+    assert got[1]["n_lines_dropped"] == 0
+    assert got[2]["text"] == "gamma"
+    assert got[2]["n_lines_dropped"] == 2  # both copies lose to doc 1
+    assert got[3]["text"] == "delta\n"
+    assert got[3]["n_lines_dropped"] == 1
+
+
+def test_dedup_lines_global_min_chars_exemption(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.dedup import (
+        dedup_lines_global,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ok\nlong enough line"), (2, "ok\nlong enough line")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup_lines_global(df, min_chars=5).collect()}
+    # 'ok' is under min_chars → kept in both; the long line dedups
+    assert got[1]["text"] == "ok\nlong enough line"
+    assert got[2]["text"] == "ok"
+
+
+def test_dedup_lines_global_doc_fully_deduped(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.dedup import (
+        dedup_lines_global,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "only line"), (2, "only line")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup_lines_global(df, min_chars=1).collect()}
+    assert got[1]["text"] == "only line"
+    assert got[2]["text"] == "" and got[2]["n_lines_dropped"] == 1

@@ -346,3 +346,39 @@ def test_pack_sequences_exact_replay_and_invariants(spark):
     again = {r["seq_id"]: r["seq_text"] for r in
              pack_sequences(df.repartition(7), L).collect()}
     assert again == {k: r["seq_text"] for k, r in got.items()}
+
+
+def test_mixture_weights_shares_and_cap(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", "w " * 70), (2, "en", "w " * 9),
+         (3, "de", "w " * 10), (4, "xx", "w " * 10)],
+        "doc_id long, lang string, text string")
+    got = {r["stratum"]: r for r in mixture_weights(
+        df, {"en": 0.5, "de": 0.5}, cap=3.0).collect()}
+    # token counts: en 71+10=81, de 11, xx 11 → total 103
+    assert got["en"]["n_tokens"] == 81 and got["de"]["n_tokens"] == 11
+    assert abs(got["en"]["actual_share"] - 81 / 103) < 1e-6
+    assert got["en"]["target_share"] == 0.5
+    # de must upsample but the cap binds: 0.5/(11/103) ≈ 4.68 → 3.0
+    assert got["de"]["weight"] == 3.0
+    # stratum outside the target mix → weight 0
+    assert got["xx"]["target_share"] == 0.0 and got["xx"]["weight"] == 0.0
+
+
+def test_mixture_weights_validates_targets(spark):
+    import pytest
+
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    df = spark.createDataFrame([(1, "en", "x")],
+                               "doc_id long, lang string, text string")
+    with pytest.raises(ValueError):
+        mixture_weights(df, {})
+    with pytest.raises(ValueError):
+        mixture_weights(df, {"en": 0.0})

@@ -329,3 +329,63 @@ def drop_normalized_duplicates(df: DataFrame, text_col: str = "text",
              F.count("*").alias("group_size"))
         .select(F.col("keep_id").alias("id"), "norm_key", "group_size")
     )
+
+
+def dedup_lines_global(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", sep: str = "\n",
+                       min_chars: int = 1) -> DataFrame:
+    """C4-style GLOBAL line dedup: a line that occurs in multiple
+    documents survives only at its first occurrence corpus-wide
+    (ordered by (doc_id, line index)); every later copy is removed and
+    the documents are reassembled. This is the cross-document cousin
+    of :func:`~..operators.corpus_stats.dedup_doc_lines` and the pass
+    that strips repeated boilerplate paragraphs (cookie banners,
+    license blocks, navigation) the within-document pass cannot see.
+
+    Lines shorter than ``min_chars`` are exempt (kept everywhere):
+    the default 1 exempts blank lines so document structure survives.
+
+    Scale shape: one map-side-combinable ``groupBy(line).min(struct)``
+    to elect keepers, one line-keyed join back (AQE handles skew from
+    ultra-hot boilerplate lines by splitting the skewed partitions),
+    one per-document reassembly aggregation. No window over a global
+    ordering, no SinglePartition anywhere.
+
+    Returns (id, text, n_lines_dropped).
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "line"),
+    )
+    keepers = (
+        lines.where(F.length("line") >= min_chars)
+        .groupBy("line")
+        .agg(F.min(F.struct(F.col("id").alias("kid"),
+                            F.col("idx").alias("kidx"))).alias("k"))
+    )
+    kept = (
+        lines.join(keepers, on="line", how="left")
+        .where(F.col("k").isNull()
+               | ((F.col("id") == F.col("k.kid"))
+                  & (F.col("idx") == F.col("k.kidx"))))
+    )
+    reassembled = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"]),
+            sep).alias("_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    orig = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), sep)).alias("_n_lines"))
+    return (
+        orig.join(reassembled, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+            (F.col("_n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long").alias("n_lines_dropped"),
+        )
+    )

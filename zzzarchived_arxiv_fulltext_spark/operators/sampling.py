@@ -439,3 +439,65 @@ def pack_sequences(
         .withColumn("complete",
                     (F.col("n_tokens") == seq_len).cast("int"))
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    targets: Dict[str, float],
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    cap: float = 10.0,
+) -> DataFrame:
+    """Per-stratum sampling weights that steer the corpus toward a
+    target token mixture (DoReMi-style domain reweighting input).
+
+    For each stratum: actual token share, normalized target share,
+    and ``weight = min(target/actual, cap)`` — the per-document
+    sampling multiplier that makes the expected post-sampling mix hit
+    the target (weight > 1 means the stratum must be upsampled /
+    epoch-repeated; the cap bounds repetition of tiny strata, the
+    standard guard against over-epoching rare domains). Strata absent
+    from ``targets`` get target share 0 → weight 0 (dropped).
+
+    One map-side-combinable aggregation over the corpus; the
+    stratum-count result is bounded metadata, never data-scaled.
+
+    Returns (stratum, n_docs, n_tokens, actual_share, target_share,
+    weight) sorted by stratum.
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    total_target = float(sum(targets.values()))
+    if total_target <= 0:
+        raise ValueError("targets must sum to a positive value")
+    norm = {k: float(v) / total_target for k, v in targets.items()}
+
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    per = (
+        df.select(F.col(stratum_col).alias("stratum"),
+                  n_tokens.alias("_t"))
+        .groupBy("stratum")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("_t").alias("n_tokens"))
+    )
+    # corpus total as a broadcast scalar join, not an empty-partition
+    # window (which would force a SinglePartition exchange)
+    total_df = per.agg(F.sum("n_tokens").alias("_total"))
+    per = per.crossJoin(F.broadcast(total_df))
+    target_expr = F.lit(0.0)
+    for k, v in sorted(norm.items()):
+        target_expr = F.when(F.col("stratum") == k, F.lit(v)) \
+            .otherwise(target_expr)
+    actual = F.col("n_tokens") / F.col("_total")
+    # weight derives from the RAW ratio (rounding only at the output
+    # boundary) so the result is a pure function of the token counts
+    return (
+        per.withColumn("actual_share", F.round(actual, 6))
+        .withColumn("target_share", F.round(target_expr, 6))
+        .withColumn(
+            "weight",
+            F.round(F.least(target_expr / actual, F.lit(cap)), 6))
+        .select("stratum", "n_docs", "n_tokens", "actual_share",
+                "target_share", "weight")
+        .orderBy("stratum")
+    )

@@ -2193,6 +2193,99 @@ def q_dedup_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "global_line_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             text || chr(10) || 'shared ' || (doc_id % 7)::VARCHAR
+                  || chr(10) || 'tail line' AS text
+      FROM documents
+    ),
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+    l AS (
+      SELECT doc_id, i - 1 AS idx, ls[i] AS line
+      FROM s, UNNEST(range(1, len(ls) + 1)) AS t(i)
+    ),
+    r AS (
+      SELECT doc_id, idx, line,
+             row_number() OVER (PARTITION BY line
+                                ORDER BY doc_id, idx) AS rn,
+             length(line) >= 1 AS elig
+      FROM l
+    ),
+    kept AS (SELECT doc_id, idx, line FROM r WHERE NOT elig OR rn = 1),
+    agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    orig AS (
+      SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM d
+    )
+    SELECT o.doc_id, coalesce(a.text, '') AS text,
+           (o.n_lines - coalesce(a.n_kept, 0))::BIGINT AS n_lines_dropped
+    FROM orig o LEFT JOIN agg a USING (doc_id)
+    ORDER BY o.doc_id
+    """,
+)
+def q_global_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup, first occurrence wins.
+
+    Planted construction: every doc gains a 'shared k' line (k =
+    doc_id % 7, so ~1/7 of the corpus shares each) and a 'tail line'
+    shared by ALL docs; only the lowest-(doc_id, idx) copy of each
+    repeated line survives. The oracle replays the full pipeline in
+    SQL (window keeper election + reassembly), so organic text
+    collisions dedup identically in both engines.
+    """
+    from .operators.dedup import dedup_lines_global
+
+    planted = F.concat_ws(
+        "\n", F.col("text"),
+        F.concat(F.lit("shared "), (F.col("doc_id") % 7).cast("string")),
+        F.lit("tail line"))
+    docs = _docs(spark, sf_dir).select("doc_id", planted.alias("text"))
+    return dedup_lines_global(docs).orderBy("doc_id")
+
+
+@_register(
+    "mixture_reweighting",
+    """
+    WITH per AS (
+      SELECT lang AS stratum, count(*) AS n_docs,
+             sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_tokens) AS t FROM per),
+    tgt AS (
+      SELECT stratum,
+             CASE stratum WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+                          WHEN 'fr' THEN 0.2 ELSE 0.0 END AS target_share
+      FROM per
+    )
+    SELECT p.stratum, p.n_docs, p.n_tokens,
+           round(p.n_tokens / (SELECT t FROM tot), 6) AS actual_share,
+           round(g.target_share, 6)::DOUBLE AS target_share,
+           round(least(g.target_share
+                       / (p.n_tokens / (SELECT t FROM tot)), 10.0), 6)
+             AS weight
+    FROM per p JOIN tgt g USING (stratum)
+    ORDER BY p.stratum
+    """,
+)
+def q_mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting input: per-language token
+    shares vs a 50/30/20 en/de/fr target; weight = capped
+    target/actual sampling multiplier (0 for strata outside the
+    target mix)."""
+    from .operators.sampling import mixture_weights
+
+    return mixture_weights(
+        _docs(spark, sf_dir), {"en": 0.5, "de": 0.3, "fr": 0.2},
+        stratum_col="lang")
+
+
+@_register(
     "tfidf_top_terms",
     """
     WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
