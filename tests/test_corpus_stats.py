@@ -335,3 +335,56 @@ def test_corpus_diff_statuses(spark):
         [(1, "same"), (2, "after"), (4, "fresh")], ["doc_id", "text"])
     got = {r["id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_lm_perplexity_orders_fluent_below_gibberish(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        lm_perplexity,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(100, "the cat sat on the mat"),     # in-domain
+         (101, "mat the on sat cat the"),     # shuffled word order
+         (102, "zqx wvy kjh plm qrs ttt")],   # fully OOV
+        "doc_id long, text string")
+    got = {r["id"]: r["ppl"] for r in
+           lm_perplexity(train, score).collect()}
+    assert got[100] < got[101] < got[102]
+    # OOV stays finite (add-one floor), never NULL/inf
+    assert got[102] == got[102] and got[102] < 1e9
+    assert all(v > 0 for v in got.values())
+
+
+def test_lm_perplexity_validates_lambda(spark):
+    import pytest
+
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        lm_perplexity,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        lm_perplexity(df, df, lam=1.0)
+
+
+def test_perplexity_buckets_near_equal_and_tie_stable(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        perplexity_buckets,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, float(i % 30)) for i in range(90)],
+        "id long, ppl double")
+    got = perplexity_buckets(scored, k=3).collect()
+    counts = {}
+    by_ppl = {}
+    for r in got:
+        counts[r["ppl_bucket"]] = counts.get(r["ppl_bucket"], 0) + 1
+        by_ppl.setdefault(r["ppl"], set()).add(r["ppl_bucket"])
+    # tied perplexities always share one bucket
+    assert all(len(s) == 1 for s in by_ppl.values())
+    assert sorted(counts) == [1, 2, 3]
+    assert all(abs(c - 30) <= 3 for c in counts.values()), counts

@@ -135,7 +135,8 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3,
 def percentile_ranks(df: DataFrame, value_col: str,
                      id_col: str = "doc_id",
                      rank_col: str = "pct_rank",
-                     num_buckets: int = 64) -> DataFrame:
+                     num_buckets: int = 64,
+                     rounded: bool = True) -> DataFrame:
     """Exact percent_rank of ``value_col`` for every row — WITHOUT a
     global sort and WITHOUT collecting the value histogram.
 
@@ -200,11 +201,16 @@ def percentile_ranks(df: DataFrame, value_col: str,
                 (F.col("_offset") + F.col("_below_local")).alias("_below"))
     )
     denom = float(max(total - 1, 1))
+    rank = F.col("_below") / F.lit(denom)
+    # rounded=False keeps full precision for downstream arithmetic
+    # (e.g. bucket = floor(rank * k): rounding first moves documents
+    # across bucket boundaries exactly at the 1/k cut points)
+    if rounded:
+        rank = F.round(rank, 6)
     return (
         df.join(cdf, on=df[value_col] == cdf["_v"], how="left")
         .select(F.col(id_col), F.col(value_col),
-                F.round(F.col("_below") / F.lit(denom), 6)
-                .alias(rank_col))
+                rank.alias(rank_col))
     )
 
 
@@ -450,3 +456,92 @@ def corpus_diff(old: DataFrame, new: DataFrame,
             .otherwise(F.lit("unchanged")).alias("status"),
         )
     )
+
+
+def lm_perplexity(train: DataFrame, score: DataFrame, lam: float = 0.7,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style LM quality scoring: per-document perplexity under
+    an interpolated bigram model trained on a REFERENCE corpus.
+
+    Unlike :func:`unigram_surprisal`/:func:`bigram_surprisal` (which
+    score a corpus against itself), this is the cross-corpus filter
+    shape: train counts on a trusted reference (e.g. Wikipedia), score
+    the crawl, keep the low-perplexity head. Per token:
+
+        p(w | prev) = lam * c(prev w)/c(prev ·)  +
+                      (1 - lam) * (c(w) + 1)/(T + V)
+
+    (bigram term 0 for document-initial tokens and unseen contexts;
+    the add-one unigram floor keeps every probability positive, so
+    out-of-vocabulary tokens raise perplexity instead of zeroing it).
+    ppl = exp(-mean ln p). Lower = more reference-like.
+
+    Scale: train-side count tables are map-side-combined aggregates
+    joined back onto the exploded score-side pairs with NO forced
+    broadcast (bigram vocabulary grows near-linearly with the
+    reference size — AQE broadcasts at runtime only when it fits).
+
+    Returns (id, n_tokens, ppl).
+    """
+    if not 0.0 <= lam < 1.0:
+        raise ValueError("lam must be in [0, 1)")
+
+    def pairs(df):
+        ws = F.split(F.col(text_col), " ")
+        ps = F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 1),
+            lambda k: F.struct(
+                F.when(k > 0, F.element_at(ws, k)).alias("prev"),
+                F.element_at(ws, k + 1).alias("cur"),
+            ),
+        )
+        return (
+            df.where(F.size(ws) >= 1)
+            .select(F.col(id_col).alias("id"), F.explode(ps).alias("p"))
+            .select("id", "p.prev", "p.cur")
+        )
+
+    tp = pairs(train)
+    bigrams = (tp.where(F.col("prev").isNotNull())
+               .groupBy("prev", "cur").agg(F.count("*").alias("bc")))
+    contexts = bigrams.groupBy("prev").agg(F.sum("bc").alias("uc"))
+    unigrams = tp.groupBy("cur").agg(F.count("*").alias("c"))
+    stats = unigrams.agg(
+        F.sum("c").alias("t"), F.count("*").alias("v")).first()
+    t_plus_v = float(stats["t"] + stats["v"])
+
+    sp = pairs(score)
+    p_bigram = F.coalesce(F.col("bc") / F.col("uc"), F.lit(0.0))
+    p_unigram = (F.coalesce(F.col("c"), F.lit(0)) + 1.0) / F.lit(t_plus_v)
+    p = F.lit(lam) * p_bigram + F.lit(1.0 - lam) * p_unigram
+    return (
+        sp.join(bigrams, on=["prev", "cur"], how="left")
+        .join(contexts, on="prev", how="left")
+        .join(unigrams, on="cur", how="left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.exp(-F.avg(F.log(p))), 6).alias("ppl"),
+        )
+    )
+
+
+def perplexity_buckets(scored: DataFrame, k: int = 3,
+                       ppl_col: str = "ppl",
+                       id_col: str = "id") -> DataFrame:
+    """CCNet's head/middle/tail split: cut documents into ``k``
+    near-equal-frequency buckets by perplexity (bucket 1 = most
+    reference-like). Built on :func:`percentile_ranks` (the two-pass
+    partitioned CDF) rather than ``ntile() OVER (ORDER BY ppl)`` —
+    a global-order window is a SinglePartition exchange at corpus
+    scale. Tied perplexities share a bucket (min-rank semantics).
+    Adds ``ppl_bucket``."""
+    ranked = percentile_ranks(scored, ppl_col, id_col=id_col,
+                              rank_col="_pr", rounded=False)
+    bucket = F.least(F.floor(F.col("_pr") * k) + 1, F.lit(k))
+    out = scored.join(
+        ranked.select(F.col(id_col),
+                      bucket.cast("int").alias("ppl_bucket")),
+        on=id_col)
+    return out

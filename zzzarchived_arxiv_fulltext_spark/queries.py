@@ -2335,6 +2335,91 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "doc_id")
 
 
+_LM_PPL_ORACLE_CTES = """
+    WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    sc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM tr),
+    tp AS (
+      SELECT doc_id, CASE WHEN i > 1 THEN ws[i - 1] END AS prev,
+             ws[i] AS cur
+      FROM tw, UNNEST(range(1, len(ws) + 1)) AS t(i)
+    ),
+    bg AS (SELECT prev, cur, count(*) AS bc FROM tp
+           WHERE prev IS NOT NULL GROUP BY prev, cur),
+    ctx AS (SELECT prev, sum(bc) AS uc FROM bg GROUP BY prev),
+    ug AS (SELECT cur, count(*) AS c FROM tp GROUP BY cur),
+    st AS (SELECT (sum(c) + count(*))::DOUBLE AS tv FROM ug),
+    sw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM sc),
+    sp AS (
+      SELECT doc_id, CASE WHEN i > 1 THEN ws[i - 1] END AS prev,
+             ws[i] AS cur
+      FROM sw, UNNEST(range(1, len(ws) + 1)) AS t(i)
+    ),
+    j AS (
+      SELECT sp.doc_id,
+             0.7::DOUBLE * coalesce(bg.bc / ctx.uc, 0.0)
+             + (1.0::DOUBLE - 0.7::DOUBLE)
+               * ((coalesce(ug.c, 0) + 1.0) / (SELECT tv FROM st)) AS p
+      FROM sp LEFT JOIN bg ON sp.prev = bg.prev AND sp.cur = bg.cur
+              LEFT JOIN ctx ON sp.prev = ctx.prev
+              LEFT JOIN ug ON sp.cur = ug.cur
+    ),
+    scored AS (
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             round(exp(-avg(ln(p))), 6) AS ppl
+      FROM j GROUP BY doc_id
+    )
+"""
+
+
+@_register(
+    "lm_perplexity_scores",
+    _LM_PPL_ORACLE_CTES + """
+    SELECT doc_id, n_tokens, ppl FROM scored ORDER BY doc_id
+    """,
+)
+def q_lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-corpus LM scoring: even doc_ids are the
+    reference (training) corpus, odd doc_ids are scored against it.
+    The oracle replays the interpolated-bigram model end to end."""
+    from .operators.corpus_stats import lm_perplexity
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    score = docs.where(F.col("doc_id") % 2 == 1)
+    return (lm_perplexity(train, score, lam=0.7)
+            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+
+
+@_register(
+    "ccnet_perplexity_buckets",
+    _LM_PPL_ORACLE_CTES + """
+    , ranked AS (
+      SELECT doc_id, n_tokens, ppl,
+             percent_rank() OVER (ORDER BY ppl) AS pr
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, ppl,
+           least(floor(pr * 3) + 1, 3)::INT AS ppl_bucket
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def q_ccnet_perplexity_buckets(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Head/middle/tail perplexity terciles over the scored half of
+    the corpus — the CCNet keep-the-head filter input. Bucketing runs
+    on the two-pass partitioned CDF (no global-order window); the
+    oracle's percent_rank has identical min-rank tie semantics."""
+    from .operators.corpus_stats import lm_perplexity, perplexity_buckets
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    score = docs.where(F.col("doc_id") % 2 == 1)
+    scored = lm_perplexity(train, score, lam=0.7)
+    return (perplexity_buckets(scored, k=3)
+            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+
+
 @_register(
     "global_boilerplate_removal",
     """
