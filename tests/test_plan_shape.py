@@ -171,3 +171,42 @@ def test_prefix_sum_operators_never_single_partition(spark):
     assert "SinglePartition" not in plan, plan
     plan = _plan(pack_sequences(df, 16))
     assert "SinglePartition" not in plan, plan
+
+
+def test_round5_operators_stay_jvm_side(spark):
+    """dedup_lines_global / mixture_weights / lm_perplexity are pure
+    DataFrame compositions — no Python eval anywhere in their plans
+    (scalar-aggregate exchanges over bounded metadata are fine)."""
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        lm_perplexity,
+    )
+    from zzzarchived_arxiv_fulltext_spark.operators.dedup import (
+        dedup_lines_global,
+    )
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b c\nshared"), (2, "de", "d e\nshared")],
+        ["doc_id", "lang", "text"])
+    for out in (
+        dedup_lines_global(df),
+        mixture_weights(df, {"en": 0.5, "de": 0.5}),
+        lm_perplexity(df, df),
+    ):
+        plan = _plan(out)
+        assert "EvalPython" not in plan, plan
+
+
+def test_mixture_weights_broadcasts_scalar_total(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b"), (2, "de", "c")], ["doc_id", "lang", "text"])
+    plan = _plan(mixture_weights(df, {"en": 1.0}))
+    # the corpus-total join is a broadcast, and no full-frame window
+    assert "BroadcastExchange" in plan, plan
+    assert "Window" not in plan, plan
