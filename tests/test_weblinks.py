@@ -351,3 +351,48 @@ def test_parse_and_canonicalize_strip_userinfo(spark):
     assert rows[1]["canon"] == "https://example.com/a"
     assert rows[2]["canon"] == "https://example.com:8443/a"
     assert rows[3]["canon"] == "http://example.com/a"
+
+
+def test_robots_directives_parsing():
+    from zzzarchived_arxiv_fulltext_spark.functions.html_extract import (
+        robots_directives,
+    )
+
+    assert robots_directives(None) == (False, False)
+    assert robots_directives("index, follow") == (False, False)
+    assert robots_directives("noindex") == (True, False)
+    assert robots_directives("NOFOLLOW") == (False, True)
+    assert robots_directives("none") == (True, True)
+    assert robots_directives("NoIndex,nofollow") == (True, True)
+
+
+def test_html_metadata_surfaces_robots():
+    from zzzarchived_arxiv_fulltext_spark.functions.html_extract import (
+        html_metadata,
+    )
+
+    m = html_metadata(
+        '<html><head><meta name="robots" content="noindex, nofollow">'
+        "<title>t</title></head><body></body></html>")
+    assert m["robots"] == "noindex, nofollow"
+    assert m["noindex"] is True and m["nofollow"] is True
+    m2 = html_metadata("<html><body>no head</body></html>")
+    assert m2["robots"] is None and m2["noindex"] is False
+
+
+def test_drop_noindex_pages(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.weblinks import (
+        drop_noindex_pages,
+    )
+
+    rows = [
+        (1, '<html><head><meta name="robots" content="noindex">'
+            "</head><body>x</body></html>"),
+        (2, "<html><body>keep me</body></html>"),
+        (3, '<html><head><meta name="ROBOTS" content="NONE"></head>'
+            "<body>y</body></html>"),
+        (4, "<broken <<html"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    kept = sorted(r["doc_id"] for r in drop_noindex_pages(df).collect())
+    assert kept == [2, 4]  # malformed HTML has no directives → kept

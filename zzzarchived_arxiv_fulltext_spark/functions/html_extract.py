@@ -122,6 +122,7 @@ class _MetaParser(HTMLParser):
         self.in_title = 0
         self.lang = None
         self.canonical = None
+        self.robots = None
         self.n_links = 0
         self.n_images = 0
 
@@ -137,6 +138,9 @@ class _MetaParser(HTMLParser):
             self.n_images += 1
         elif tag == "link" and a.get("rel") == "canonical":
             self.canonical = a.get("href")
+        elif tag == "meta" and (a.get("name") or "").lower() == "robots" \
+                and self.robots is None:
+            self.robots = a.get("content")
 
     def handle_startendtag(self, tag, attrs):
         self.handle_starttag(tag, attrs)
@@ -161,13 +165,34 @@ def html_metadata(html: str) -> dict:
     except Exception:
         pass
     title = _WS_RE.sub(" ", "".join(parser.title_parts)).strip()
+    noindex, nofollow = robots_directives(parser.robots)
     return {
         "title": title,
         "lang": parser.lang,
         "canonical": parser.canonical,
+        "robots": parser.robots,
+        "noindex": noindex,
+        "nofollow": nofollow,
         "n_links": parser.n_links,
         "n_images": parser.n_images,
     }
+
+
+def robots_directives(content) -> tuple:
+    """(noindex, nofollow) from a robots meta content string.
+
+    Case-insensitive, comma/space separated; ``none`` means both
+    (robots-exclusion convention). A page with no robots meta is
+    indexable — a responsible crawl corpus DROPS noindex pages, the
+    consent analogue of the domain blocklist.
+    """
+    if not content:
+        return False, False
+    tokens = {t.strip().lower()
+              for t in content.replace(",", " ").split()}
+    noindex = "noindex" in tokens or "none" in tokens
+    nofollow = "nofollow" in tokens or "none" in tokens
+    return noindex, nofollow
 
 
 class _LinkParser(HTMLParser):

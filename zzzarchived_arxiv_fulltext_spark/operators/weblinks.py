@@ -384,3 +384,26 @@ def page_rank(edges: DataFrame, iterations: int = 10,
         # shuffle work at scale) just to save a local write.
         ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def drop_noindex_pages(df: DataFrame, html_col: str = "html",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Drop pages whose robots meta declares ``noindex`` (or ``none``)
+    — the page-level consent filter beside the domain blocklist: a
+    crawl corpus must honor explicit do-not-index signals.
+
+    One Arrow-batched pass over the HTML (shared stdlib parser with
+    ``html_metadata``); the filter runs in the same stage, so dropped
+    pages never shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.html_extract import html_metadata
+
+    @pandas_udf("boolean")
+    def noindex_udf(htmls: pd.Series) -> pd.Series:
+        return pd.Series(
+            [bool(html_metadata(h)["noindex"]) for h in htmls])
+
+    return df.where(~noindex_udf(F.col(html_col)))

@@ -2421,6 +2421,38 @@ def q_ccnet_perplexity_buckets(spark: SparkSession,
 
 
 @_register(
+    "robots_noindex_filter",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id % 5 IN (2, 3) ORDER BY doc_id
+    """,
+)
+def q_robots_noindex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level consent filter: pages rendered with planted robots
+    metas — doc_id%5==0 'noindex, follow', 1 'NONE', 4
+    'NoIndex,nofollow' are dropped (case-insensitive, 'none' implies
+    noindex); 2 'index, follow' and 3 (no robots meta) survive."""
+    from .operators.weblinks import drop_noindex_pages
+
+    k = F.col("doc_id") % 5
+    meta = (
+        F.when(k == 0, F.lit('<meta name="robots" content="noindex, follow">'))
+        .when(k == 1, F.lit('<meta name="ROBOTS" content="NONE">'))
+        .when(k == 2, F.lit('<meta name="robots" content="index, follow">'))
+        .when(k == 4, F.lit('<meta name="robots" content="NoIndex,nofollow">'))
+        .otherwise(F.lit(""))
+    )
+    page = F.concat(
+        F.lit("<html><head>"), meta,
+        F.lit("</head><body><p>"), F.col("text"),
+        F.lit("</p></body></html>"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", page.alias("html"))
+    return (drop_noindex_pages(docs)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+@_register(
     "global_boilerplate_removal",
     """
     WITH d AS (
