@@ -180,6 +180,17 @@ def _load_baseline() -> tuple:
             return None, None
     if not isinstance(doc.get("queries"), dict):
         return None, None
+    # a compact stdout line carries only the headline queries; splice
+    # in the committed full per-query map so the regression diff
+    # covers the whole battery, not 10 of ~100 queries
+    if "query_battery" in doc:
+        side = here / "BENCH" / "QUERIES_LAST.json"
+        try:
+            full = json.loads(side.read_text())
+            if isinstance(full.get("queries"), dict):
+                doc = dict(doc, queries=full["queries"])
+        except (OSError, json.JSONDecodeError):
+            pass
     return doc, prev_path
 
 

@@ -388,3 +388,17 @@ def test_perplexity_buckets_near_equal_and_tie_stable(spark):
     assert all(len(s) == 1 for s in by_ppl.values())
     assert sorted(counts) == [1, 2, 3]
     assert all(abs(c - 30) <= 3 for c in counts.values()), counts
+
+
+def test_lm_perplexity_empty_train_raises_clearly(spark):
+    import pytest
+
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        lm_perplexity,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    score = spark.createDataFrame([(1, "a b")],
+                                  "doc_id long, text string")
+    with pytest.raises(ValueError, match="train corpus is empty"):
+        lm_perplexity(empty, score)

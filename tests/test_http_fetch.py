@@ -139,3 +139,19 @@ def test_fetcher_exception_isolates_per_row(spark):
     assert got["a"]["failure_class"] is None
     assert got["b"]["failure_class"] == "fetch_error"
     assert got["c"]["failure_class"] is None
+
+
+def test_injected_fetcher_natural_header_casing(spark):
+    """Review fix: header keys from an injected transport arrive in
+    natural casing and must still satisfy expect_content_type."""
+    def fake(url):
+        return 200, {"Content-Type": "application/pdf",
+                     "ETag": "abc"}, b"%PDF-x"
+
+    df = spark.createDataFrame([("a", "fake://x")],
+                               "doc_id string, url string")
+    r = fetch_documents(df, expect_content_type="application/pdf",
+                        retry_sleep=0.0, fetcher=fake).collect()[0]
+    assert r["failure_class"] is None
+    assert bytes(r["payload"]) == b"%PDF-x"
+    assert r["content_type"] == "application/pdf"

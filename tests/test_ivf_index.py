@@ -82,3 +82,19 @@ def test_init_shape_validated(spark):
     with pytest.raises(ValueError):
         train_ivf_centroids(_corpus(spark, 10), n_centroids=4, dim=8,
                             init=[[0.0] * 8] * 3)
+
+
+def test_shape_mismatch_triggers_cold_retrain(spark, tmp_path):
+    """Review fix: a committed quantizer with a different shape than
+    the request must be replaced by a cold retrain, not served stale
+    or fed as a mis-shaped warm start (which raised ValueError)."""
+    table = SnapshotTable(str(tmp_path / "ivf"))
+    corpus = _corpus(spark, 50)
+    ensure_centroids(spark, corpus, table,
+                     n_centroids=4, iterations=2, dim=8)
+    got = ensure_centroids(spark, corpus, table,
+                           n_centroids=6, iterations=2, dim=8)
+    assert len(got) == 6
+    assert got == train_ivf_centroids(corpus, n_centroids=6,
+                                      iterations=2, dim=8)
+    assert len(table.snapshots()) == 2

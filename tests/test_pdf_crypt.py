@@ -113,3 +113,17 @@ def test_pdf_to_spans_decrypts_and_classifies(spark):
     assert got["open"]["failure_class"] is None
     assert got["locked"]["failure_class"] == "encrypted"
     assert got["locked"]["spans"] == []
+
+
+def test_truncated_u_entry_never_authenticates():
+    """Review fix: an empty/short /U must not prefix-match vacuously
+    and let a bogus key mangle a plaintext file."""
+    plain = make_simple_pdf(PAGES)
+    base = extract_pdf_page_texts(plain)
+    fake = (plain + b"\ntrailer\n<< /Encrypt 99 0 R "
+            b"/ID [<00112233445566778899aabbccddeeff> <00>] >>\n"
+            b"99 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 "
+            b"/P -44 /O <" + b"00" * 32 + b"> /U <> >>\nendobj\n")
+    assert decrypt_pdf(fake) is None
+    # the extractor must still read the (plaintext) streams unharmed
+    assert extract_pdf_page_texts(fake) == base

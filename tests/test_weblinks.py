@@ -396,3 +396,20 @@ def test_drop_noindex_pages(spark):
     df = spark.createDataFrame(rows, "doc_id long, html string")
     kept = sorted(r["doc_id"] for r in drop_noindex_pages(df).collect())
     assert kept == [2, 4]  # malformed HTML has no directives → kept
+
+
+def test_double_at_sign_cannot_bypass_blocklist(spark):
+    # review fix: host resolves after the LAST '@' (WHATWG/urllib
+    # semantics) — 'https://a@b@bad.com/' must still block
+    df = spark.createDataFrame(
+        [(1, "https://a@b@bad.com/x"),
+         (2, "https://x:y@z@sub.bad.com:8080/p"),
+         (3, "https://good.org/x")],
+        ["doc_id", "url"],
+    )
+    bl = spark.createDataFrame([("bad.com",)], ["blocked_domain"])
+    kept = sorted(r["doc_id"]
+                  for r in filter_blocked_domains(df, bl).collect())
+    assert kept == [3]
+    from urllib.parse import urlparse
+    assert urlparse("https://a@b@bad.com/x").hostname == "bad.com"

@@ -127,6 +127,12 @@ def _parse_encrypt_params(pdf: bytes) -> Optional[dict]:
     p = _dict_int(body, b"P")
     if o is None or u is None or p is None or len(o) < 32:
         return None
+    # a truncated /U would make the prefix comparison in
+    # _authenticate_empty vacuously true (want[:0] == b"") and
+    # "authenticate" garbage keys against malformed files — require
+    # the full comparison width up front
+    if len(u) < (32 if r == 2 else 16):
+        return None
     length_bits = _dict_int(body, b"Length") or 40
     em = re.search(rb"/EncryptMetadata\s+(true|false)", body)
     encrypt_metadata = not (em and em.group(1) == b"false")

@@ -509,6 +509,8 @@ def lm_perplexity(train: DataFrame, score: DataFrame, lam: float = 0.7,
     unigrams = tp.groupBy("cur").agg(F.count("*").alias("c"))
     stats = unigrams.agg(
         F.sum("c").alias("t"), F.count("*").alias("v")).first()
+    if stats["t"] is None:
+        raise ValueError("train corpus is empty — cannot fit the LM")
     t_plus_v = float(stats["t"] + stats["v"])
 
     sp = pairs(score)

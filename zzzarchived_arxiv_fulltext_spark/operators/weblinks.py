@@ -26,8 +26,12 @@ from pyspark.sql import functions as F
 # scheme://[userinfo@]host[:port]/path — host is group 1, path group 2.
 # The optional non-capturing userinfo segment matters for safety:
 # without it 'https://user@blocked.com/x' parses its host as
-# 'user@blocked.com' and silently bypasses the domain blocklist.
-_URL_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]+)[:0-9]*([^?#]*)"
+# 'user@blocked.com' and silently bypasses the domain blocklist. The
+# userinfo class allows '@' itself (GREEDY, so the host starts after
+# the LAST '@' before the path) because that is how urllib/WHATWG and
+# every real fetcher resolve 'https://a@b@bad.com/' — splitting at the
+# first '@' would re-open the bypass.
+_URL_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)[:0-9]*([^?#]*)"
 
 
 def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -192,7 +196,7 @@ def canonicalize_url(url_col) -> "F.Column":
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(url, _URL_RE, 1))
     port = F.regexp_extract(
-        url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#@]+:(\d+)", 1)
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?[^/:?#@]+:(\d+)", 1)
     is_default = (
         (port == "")
         | ((scheme == "http") & (port == "80"))

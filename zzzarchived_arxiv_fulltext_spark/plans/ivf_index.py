@@ -41,14 +41,18 @@ def train_and_commit_centroids(
     vec_col: str = "embedding",
     dim: int = 64,
     init=None,
+    trained_rows: int = None,
 ) -> int:
     """Train (optionally warm-started) and commit one centroid
-    snapshot; returns the snapshot id."""
+    snapshot; returns the snapshot id. ``trained_rows`` lets a caller
+    that already counted the corpus (the growth check) avoid a second
+    full count action."""
     centroids = train_ivf_centroids(
         corpus, n_centroids=n_centroids, iterations=iterations,
         sample_fraction=sample_fraction, vec_col=vec_col, dim=dim,
         init=init)
-    trained_rows = corpus.count()
+    if trained_rows is None:
+        trained_rows = corpus.count()
     rows = spark.createDataFrame(
         [(c, vec) for c, vec in enumerate(centroids)], CENTROID_SCHEMA)
     return table.append(rows.coalesce(1), meta={
@@ -84,19 +88,25 @@ def ensure_centroids(
     Growth check compares the corpus row count against the committed
     ``trained_rows`` meta; a re-train warm-starts from the committed
     centroids (``init=``) so Lloyd continues from the served state.
+    A committed snapshot whose shape does not match the REQUESTED
+    (n_centroids, dim) — a config change since the last commit — is
+    ignored and replaced by a cold re-train, never served stale or
+    fed as a mis-shaped warm start.
     """
+    want_k = train_kwargs.get("n_centroids", 16)
+    want_dim = train_kwargs.get("dim", 64)
     snaps = [s for s in table.snapshots()
              if s.get("kind") == "ivf_centroids"]
-    current = load_centroids(spark, table)
-    if current is not None and snaps:
+    current = load_centroids(spark, table) if snaps else None
+    if current is not None and \
+            (len(current), len(current[0])) == (want_k, want_dim):
         trained_rows = snaps[-1].get("trained_rows") or 0
         n_now = corpus.count()
         if n_now <= trained_rows * growth_factor:
             return current
-        train_kwargs.setdefault("n_centroids", len(current))
-        train_kwargs.setdefault("dim", len(current[0]))
         train_and_commit_centroids(
-            spark, corpus, table, init=current, **train_kwargs)
+            spark, corpus, table, init=current, trained_rows=n_now,
+            **train_kwargs)
         return load_centroids(spark, table)
     train_and_commit_centroids(spark, corpus, table, **train_kwargs)
     return load_centroids(spark, table)

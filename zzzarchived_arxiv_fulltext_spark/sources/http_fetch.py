@@ -131,6 +131,9 @@ def fetch_documents(
                 fail = None
                 try:
                     status, headers, body = fetch(url)
+                    # injected fetchers return headers in natural
+                    # casing — normalize here, not per-transport
+                    headers = {k.lower(): v for k, v in headers.items()}
                     attempts_left = retries
                     while (status == 200 and ct
                            and not (headers.get("content-type") or "")
@@ -139,6 +142,8 @@ def fetch_documents(
                             time.sleep(retry_sleep)
                         attempts_left -= 1
                         status, headers, body = fetch(url)
+                        headers = {k.lower(): v
+                                   for k, v in headers.items()}
                     if status == 404:
                         fail = "not_found"
                     elif status != 200:
