@@ -562,7 +562,8 @@ def test_html_metadata():
         "<link rel='canonical' href='https://e.org/x'></head>"
         "<body><img src='a'/><img src='b'/></body></html>")
     assert m2 == {"title": "Hi there", "lang": "en",
-                  "canonical": "https://e.org/x", "n_links": 0,
+                  "canonical": "https://e.org/x", "robots": None,
+                  "noindex": False, "nofollow": False, "n_links": 0,
                   "n_images": 2}
     assert html_metadata("")["title"] == ""
     assert html_metadata("<title>open ended") ["title"] == "open ended"
