@@ -402,3 +402,21 @@ def test_lm_perplexity_empty_train_raises_clearly(spark):
                                   "doc_id long, text string")
     with pytest.raises(ValueError, match="train corpus is empty"):
         lm_perplexity(empty, score)
+
+
+def test_corpus_report_long_format(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        corpus_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", "web"), (2, "d e", "en", "web"),
+         (3, "f", "de", "books")],
+        "doc_id long, text string, lang string, source string")
+    got = {r["metric"]: r["value"] for r in corpus_report(df).collect()}
+    assert got["n_docs"] == 3.0
+    assert got["n_tokens"] == 6.0
+    assert got["max_tokens"] == 3.0
+    assert got["n_langs"] == 2.0 and got["n_sources"] == 2.0
+    assert abs(got["lang_share:en"] - 2 / 3) < 1e-6
+    assert abs(got["lang_share:de"] - 1 / 3) < 1e-6

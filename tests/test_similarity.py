@@ -82,3 +82,46 @@ def test_ivf_centroids_deterministic(emb):
     c1 = train_ivf_centroids(emb, n_centroids=4, iterations=2)
     c2 = train_ivf_centroids(emb, n_centroids=4, iterations=2)
     assert c1 == c2
+
+
+def test_quantize_embeddings_roundtrip_and_scales(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.similarity import (
+        dimension_scales,
+        quantize_embeddings,
+    )
+
+    rows = [(1, [1.27, -0.5, 0.0, 0.001]),
+            (2, [-1.27, 0.25, 0.0, -0.001]),
+            (3, [0.635, 0.5, 0.0, 0.0005])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    scales = dimension_scales(df, dim=4)
+    # dim 0: maxabs 1.27 → scale 0.01; dim 2 all-zero → epsilon floor
+    assert abs(scales[0] - 1.27 / 127) < 1e-12
+    assert scales[2] == 1e-12 / 127 * 127 or scales[2] > 0
+    got = {r["vec_id"]: r for r in
+           quantize_embeddings(df, dim=4).collect()}
+    assert got[1]["qvec"][0] == 127       # the max element hits +127
+    assert got[2]["qvec"][0] == -127
+    assert got[3]["qvec"][0] == 64        # 0.635/0.01 = 63.5 → half-up
+    assert all(-127 <= q <= 127 for r in got.values() for q in r["qvec"])
+    # reconstruction error is bounded by half a step per dim
+    for r in got.values():
+        assert r["rmse"] < max(scales)
+
+
+def test_quantize_with_training_scales_is_delta_compatible(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.similarity import (
+        dimension_scales,
+        quantize_embeddings,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 5) - 2.0] * 4) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    delta = spark.createDataFrame(
+        [(100, [1.0, 1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    scales = dimension_scales(base, dim=4)
+    a = quantize_embeddings(delta, scales=scales, dim=4).collect()[0]
+    b = quantize_embeddings(delta, scales=scales, dim=4).collect()[0]
+    assert a["qvec"] == b["qvec"]  # same training scales → same codes

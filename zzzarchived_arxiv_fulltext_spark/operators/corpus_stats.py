@@ -547,3 +547,45 @@ def perplexity_buckets(scored: DataFrame, k: int = 3,
                       bucket.cast("int").alias("ppl_bucket")),
         on=id_col)
     return out
+
+
+def corpus_report(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", lang_col: str = "lang",
+                  source_col: str = "source") -> DataFrame:
+    """Corpus datasheet in long format: (metric, value) rows — the
+    release-notes summary a dataset card needs (size, token counts,
+    length profile, language composition), computed in two map-side-
+    combinable aggregations and emitted long so the schema never
+    changes when languages come and go.
+
+    Metrics: n_docs, n_tokens, mean_tokens, max_tokens, mean_chars,
+    n_langs, n_sources, plus one ``lang_share:<lang>`` row per
+    observed language (document share). All values double.
+    """
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    agg = df.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(n_tokens).cast("double").alias("n_tokens"),
+        F.round(F.avg(n_tokens), 6).alias("mean_tokens"),
+        F.max(n_tokens).cast("double").alias("max_tokens"),
+        F.round(F.avg(F.length(F.col(text_col))), 6).alias("mean_chars"),
+        F.count_distinct(F.col(lang_col)).cast("double").alias("n_langs"),
+        F.count_distinct(F.col(source_col)).cast("double")
+        .alias("n_sources"),
+    )
+    names = ["n_docs", "n_tokens", "mean_tokens", "max_tokens",
+             "mean_chars", "n_langs", "n_sources"]
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    scalars = agg.selectExpr(
+        f"stack({len(names)}, {stack}) AS (metric, value)")
+    per_lang = df.groupBy(F.col(lang_col).alias("_l")).agg(
+        F.count("*").alias("_c"))
+    total = per_lang.agg(F.sum("_c").alias("_t"))
+    shares = (
+        per_lang.crossJoin(F.broadcast(total))
+        .select(
+            F.concat(F.lit("lang_share:"), F.col("_l")).alias("metric"),
+            F.round(F.col("_c") / F.col("_t"), 6).alias("value"),
+        )
+    )
+    return scalars.unionByName(shares).orderBy("metric")

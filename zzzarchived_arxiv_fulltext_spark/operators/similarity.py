@@ -366,3 +366,59 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def dimension_scales(df: DataFrame, vec_col: str = "embedding",
+                     dim: int = 64):
+    """Per-dimension symmetric int8 scales: max|v| / 127 per dim,
+    floored at 1e-12 so a constant-zero dimension cannot divide by
+    zero. One map-side-combinable aggregate; the result is ``dim``
+    doubles of bounded driver metadata (same class as IVF centroids).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    maxabs = df.agg(*[
+        F.max(F.abs(F.element_at(v, d + 1))).alias(f"m{d}")
+        for d in range(dim)
+    ]).first()
+    return [max(float(maxabs[f"m{d}"] or 0.0), 1e-12) / 127.0
+            for d in range(dim)]
+
+
+def quantize_embeddings(df: DataFrame, scales=None,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        dim: int = 64) -> DataFrame:
+    """Symmetric per-dimension int8 quantization — the 4× memory/IO
+    shrink that makes a 10^12-vector ANN corpus servable (float32 →
+    int8 with per-dim scale recovery).
+
+    q_d = clamp(round(v_d / scale_d), ±127); the reconstruction
+    v' = q_d * scale_d and per-vector RMSE are emitted alongside so a
+    pipeline can gate on quantization loss. ``scales`` defaults to
+    :func:`dimension_scales` of the input (pass the TRAINING corpus
+    scales when quantizing deltas so increments stay compatible).
+    Everything after the bounded scale aggregate is a pure JVM
+    projection (zip_with/aggregate) — no Python, no shuffle.
+
+    Returns (id, qvec array<int>, rmse double).
+    """
+    if scales is None:
+        scales = dimension_scales(df, vec_col=vec_col, dim=dim)
+    lit_scales = F.array(*[F.lit(float(s)) for s in scales])
+    v = F.col(vec_col).cast("array<double>")
+    q = F.zip_with(
+        v, lit_scales,
+        lambda x, s: F.greatest(
+            F.least(F.round(x / s, 0), F.lit(127.0)),
+            F.lit(-127.0)).cast("int"))
+    err2 = F.zip_with(
+        v, F.zip_with(q, lit_scales, lambda qq, s: qq * s),
+        lambda x, r: (x - r) * (x - r))
+    rmse = F.sqrt(
+        F.aggregate(err2, F.lit(0.0), lambda acc, e: acc + e)
+        / F.size(v))
+    return df.select(
+        F.col(id_col),
+        q.alias("qvec"),
+        F.round(rmse, 9).alias("rmse"),
+    )

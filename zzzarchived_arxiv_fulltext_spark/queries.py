@@ -823,6 +823,77 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, emb.where("vec_id < 3"), k=5)
 
 
+@_register(
+    "embedding_quantization",
+    """
+    WITH d AS (
+      SELECT vec_id, i, embedding[i]::DOUBLE AS v
+      FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+    ),
+    s AS (
+      SELECT i, greatest(max(abs(v)), 1e-12) / 127.0 AS scale
+      FROM d GROUP BY i
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             greatest(least(round(v / scale, 0), 127.0), -127.0) AS qv
+      FROM d JOIN s USING (i)
+    )
+    SELECT vec_id, max(abs(qv))::INT AS max_abs_q,
+           round(sqrt(sum((v - qv * scale) * (v - qv * scale)) / 64), 9)
+             AS rmse
+    FROM q GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding
+    corpus (4x ANN memory shrink) with per-vector reconstruction
+    RMSE; the oracle replays scale fitting + clamped rounding in SQL.
+    Driver output is the scalar-safe summary (arrays stay internal)."""
+    from .operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        F.array_max(F.transform("qvec", lambda x: F.abs(x)))
+        .alias("max_abs_q"),
+        "rmse",
+    ).orderBy("vec_id")
+
+
+@_register(
+    "corpus_datasheet",
+    """
+    WITH t AS (
+      SELECT len(string_split(text, ' ')) AS nt, length(text) AS nc,
+             lang, source
+      FROM documents
+    )
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric, count(*)::DOUBLE AS value FROM t
+      UNION ALL SELECT 'n_tokens', sum(nt)::DOUBLE FROM t
+      UNION ALL SELECT 'mean_tokens', round(avg(nt), 6) FROM t
+      UNION ALL SELECT 'max_tokens', max(nt)::DOUBLE FROM t
+      UNION ALL SELECT 'mean_chars', round(avg(nc), 6) FROM t
+      UNION ALL SELECT 'n_langs', count(DISTINCT lang)::DOUBLE FROM t
+      UNION ALL SELECT 'n_sources', count(DISTINCT source)::DOUBLE FROM t
+      UNION ALL
+      SELECT 'lang_share:' || lang,
+             round(count(*) / (SELECT count(*) FROM t), 6)
+      FROM t GROUP BY lang
+    ) ORDER BY metric
+    """,
+)
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary in long (metric, value) format — size,
+    token/length profile, language composition — two bounded
+    aggregations, schema stable as languages come and go."""
+    from .operators.corpus_stats import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Language ID + token stats (training-data text analysis)
 # --------------------------------------------------------------------------
