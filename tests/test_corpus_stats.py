@@ -420,3 +420,49 @@ def test_corpus_report_long_format(spark):
     assert got["n_langs"] == 2.0 and got["n_sources"] == 2.0
     assert abs(got["lang_share:en"] - 2 / 3) < 1e-6
     assert abs(got["lang_share:de"] - 1 / 3) < 1e-6
+
+
+def test_bpe_train_merges_learns_expected_sequence(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        bpe_train_merges,
+    )
+
+    # classic BPE toy: 'l o w' x3, 'l o w e r' x2 — most frequent
+    # adjacent pair is (l, o) 5x, then (lo, w) 5x; round 3 ties
+    # (low,e) with (e,r) at 2 and the lexicographic tie-break picks
+    # (e, r)
+    rows = [(i, "l o w") for i in range(3)] + [
+        (10 + i, "l o w e r") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["round"], r["left"], r["right"], r["pair_count"])
+           for r in bpe_train_merges(df, n_merges=3)
+           .orderBy("round").collect()]
+    assert got == [(1, "l", "o", 5), (2, "lo", "w", 5),
+                   (3, "e", "r", 2)]
+
+
+def test_bpe_merge_is_left_to_right_nonoverlapping(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        bpe_train_merges,
+    )
+
+    # 'p p p p': overlap-counted pairs (p,p)=3, but the merge pass is
+    # non-overlapping: round 2 sees 'pp pp' -> merges (pp, pp)
+    df = spark.createDataFrame([(1, "p p p p")],
+                               "doc_id long, text string")
+    got = [(r["round"], r["left"], r["right"], r["pair_count"])
+           for r in bpe_train_merges(df, n_merges=2)
+           .orderBy("round").collect()]
+    assert got == [(1, "p", "p", 3), (2, "pp", "pp", 1)]
+
+
+def test_bpe_train_merges_validates(spark):
+    import pytest
+
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bpe_train_merges(df, n_merges=0)

@@ -589,3 +589,68 @@ def corpus_report(df: DataFrame, text_col: str = "text",
         )
     )
     return scalars.unionByName(shares).orderBy("metric")
+
+
+def bpe_train_merges(df: DataFrame, n_merges: int = 3,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """The ITERATIVE half of BPE tokenizer training: ``n_merges``
+    rounds of (count adjacent symbol pairs → take the most frequent →
+    merge its occurrences left-to-right, non-overlapping) over
+    whitespace-tokenized symbol sequences, ties broken
+    lexicographically. :func:`bpe_pair_stats` is one counting step;
+    this runs the actual merge loop and returns the learned table —
+    (round, left, right, pair_count) — the artifact a tokenizer ships.
+
+    Scale per round: one map-side-combinable pair count over the
+    corpus, a ``TakeOrderedAndProject`` top-1 (bounded driver
+    metadata, like IVF centroids), and one pure-JVM fold
+    (``F.aggregate``) that rewrites each sequence in place — no
+    Python, no growing lineage (the token frame is localCheckpointed
+    each round, same discipline as ``page_rank``). Adjacent pairs are
+    counted with overlap (the common BPE implementation choice).
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("ts"))
+
+    def adjacent_pairs(col):
+        # sequence(1, 0) counts DOWN in Spark, so a sub-2-token array
+        # must short-circuit to an empty pair list
+        return F.expr(
+            f"CASE WHEN size({col}) < 2 THEN "
+            f"CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) "
+            f"ELSE transform(sequence(1, size({col}) - 1),"
+            f" i -> struct({col}[i - 1] AS l, {col}[i] AS r)) END")
+
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        top = (
+            toks.select(F.explode(adjacent_pairs("ts")).alias("p"))
+            .groupBy("p.l", "p.r").agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .first()
+        )
+        if top is None:
+            break
+        l, r, c = top["l"], top["r"], int(top["c"])
+        merges.append((rnd, l, r, c))
+        merged = F.lit(l + r)
+        fold = F.aggregate(
+            F.col("ts"),
+            F.expr("CAST(array() AS ARRAY<STRING>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        toks = toks.select("id", fold.alias("ts")).localCheckpoint()
+
+    return df.sparkSession.createDataFrame(
+        merges, "round int, left string, right string, pair_count long")

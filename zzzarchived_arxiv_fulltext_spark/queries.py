@@ -863,6 +863,33 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bpe_merge_training",
+    """
+    WITH m AS (SELECT sum(doc_id % 3 + 2)::BIGINT AS c FROM documents)
+    SELECT v.rnd::INT AS round, v.l AS "left", v.r AS "right",
+           (SELECT c FROM m) AS pair_count
+    FROM (VALUES (1, 'p', 'q'), (2, 'pq', 'r'), (3, 'pqr', 's'))
+         AS v(rnd, l, r)
+    ORDER BY round
+    """,
+)
+def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge training on a planted closed form: every
+    doc is 'p q r s' repeated (doc_id % 3 + 2) times, so the learned
+    merges are provably (p,q) then (pq,r) then (pqr,s), each with
+    pair count = sum over docs of the repeat factor, with the
+    lexicographic tie-break exercised in every round."""
+    from .operators.corpus_stats import bpe_train_merges
+
+    reps = (F.col("doc_id") % 3 + 2).cast("int")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(F.array_repeat(F.lit("p q r s"), reps), " ")
+        .alias("text"))
+    return bpe_train_merges(docs, n_merges=3)
+
+
+@_register(
     "corpus_datasheet",
     """
     WITH t AS (
