@@ -333,7 +333,8 @@ def drop_normalized_duplicates(df: DataFrame, text_col: str = "text",
 
 def dedup_lines_global(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", sep: str = "\n",
-                       min_chars: int = 1) -> DataFrame:
+                       min_chars: int = 1,
+                       exclude_keys: DataFrame = None) -> DataFrame:
     """C4-style GLOBAL line dedup: a line that occurs in multiple
     documents survives only at its first occurrence corpus-wide
     (ordered by (doc_id, line index)); every later copy is removed and
@@ -351,20 +352,40 @@ def dedup_lines_global(df: DataFrame, text_col: str = "text",
     one per-document reassembly aggregation. No window over a global
     ordering, no SinglePartition anywhere.
 
+    ``exclude_keys`` (a ``line_hash`` md5 column, e.g. the committed
+    keeper index of :mod:`~..plans.incremental_line_dedup`) drops any
+    eligible line already seen in earlier waves BEFORE keeper
+    election — the incremental steady-state hook.
+
     Returns (id, text, n_lines_dropped).
     """
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "line"),
     )
+    eligible = lines.where(F.length("line") >= min_chars)
+    if exclude_keys is not None:
+        eligible = eligible.join(
+            exclude_keys.select(F.col("line_hash")),
+            on=F.md5(F.col("line")) == F.col("line_hash"),
+            how="left_anti")
     keepers = (
-        lines.where(F.length("line") >= min_chars)
+        eligible
         .groupBy("line")
         .agg(F.min(F.struct(F.col("id").alias("kid"),
                             F.col("idx").alias("kidx"))).alias("k"))
     )
+    seen_filter = lines
+    if exclude_keys is not None:
+        # lines killed by the committed index must not survive via
+        # the keeper-is-null (exempt) branch below
+        seen_filter = lines.join(
+            exclude_keys.select("line_hash"),
+            on=(F.md5(F.col("line")) == F.col("line_hash"))
+            & (F.length(F.col("line")) >= min_chars),
+            how="left_anti")
     kept = (
-        lines.join(keepers, on="line", how="left")
+        seen_filter.join(keepers, on="line", how="left")
         .where(F.col("k").isNull()
                | ((F.col("id") == F.col("k.kid"))
                   & (F.col("idx") == F.col("k.kidx"))))
