@@ -2434,8 +2434,8 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LM_PPL_ORACLE_CTES = """
-    WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
-    sc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+    sc AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 2),
     tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM tr),
     tp AS (
       SELECT doc_id, CASE WHEN i > 1 THEN ws[i - 1] END AS prev,
@@ -2477,14 +2477,14 @@ _LM_PPL_ORACLE_CTES = """
     """,
 )
 def q_lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style cross-corpus LM scoring: even doc_ids are the
-    reference (training) corpus, odd doc_ids are scored against it.
+    """CCNet-style cross-corpus LM scoring: a quarter of doc_ids is the
+    reference (training) corpus, a disjoint quarter is scored.
     The oracle replays the interpolated-bigram model end to end."""
     from .operators.corpus_stats import lm_perplexity
 
     docs = _docs(spark, sf_dir)
-    train = docs.where(F.col("doc_id") % 2 == 0)
-    score = docs.where(F.col("doc_id") % 2 == 1)
+    train = docs.where(F.col("doc_id") % 4 == 0)
+    score = docs.where(F.col("doc_id") % 4 == 2)
     return (lm_perplexity(train, score, lam=0.7)
             .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
 
@@ -2511,8 +2511,8 @@ def q_ccnet_perplexity_buckets(spark: SparkSession,
     from .operators.corpus_stats import lm_perplexity, perplexity_buckets
 
     docs = _docs(spark, sf_dir)
-    train = docs.where(F.col("doc_id") % 2 == 0)
-    score = docs.where(F.col("doc_id") % 2 == 1)
+    train = docs.where(F.col("doc_id") % 4 == 0)
+    score = docs.where(F.col("doc_id") % 4 == 2)
     scored = lm_perplexity(train, score, lam=0.7)
     return (perplexity_buckets(scored, k=3)
             .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
