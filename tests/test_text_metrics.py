@@ -197,3 +197,36 @@ def test_fix_mojibake_repairs_double_decoding(spark):
     assert got[2] == ("plain ascii text", 0)
     assert got[3] == ("caf\u00e9 already fine", 0)
     assert got[4] == (None, 0)   # NULL text -> flag 0, never NULL
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.text_metrics import (
+        script_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello мир"),            # 5 latin, 3 cyrillic
+         (2, "中文 text 中"),          # 3 han, 4 latin
+         (3, "12345 !!"),             # no scripted chars
+         (4, "αβ ж中")],               # 2 greek, 1 cyr, 1 han → tie? no
+        "doc_id long, text string")
+    got = {r["id"]: r for r in script_profile(df).collect()}
+    assert (got[1]["n_latin"], got[1]["n_cyrillic"]) == (5, 3)
+    assert got[1]["dominant_script"] == "latin"
+    assert (got[2]["n_han"], got[2]["n_latin"]) == (3, 4)
+    assert got[2]["dominant_script"] == "latin"
+    assert got[3]["dominant_script"] == "none"
+    assert got[3]["n_other"] == 8  # digits + spaces + punctuation
+    assert got[4]["dominant_script"] == "greek"
+
+
+def test_script_profile_tie_breaks_lexicographically(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.text_metrics import (
+        script_profile,
+    )
+
+    # cyrillic and han tie at 2 → 'cyrillic' < 'han' wins
+    df = spark.createDataFrame([(1, "жж中中")], "doc_id long, text string")
+    r = script_profile(df).collect()[0]
+    assert r["n_cyrillic"] == 2 and r["n_han"] == 2
+    assert r["dominant_script"] == "cyrillic"

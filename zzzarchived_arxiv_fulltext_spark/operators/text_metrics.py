@@ -408,3 +408,47 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
                     F.when(F.col("repaired") == 1, candidate)
                     .otherwise(text))
     )
+
+
+# Unicode scripts worth distinguishing in a web-crawl triage pass;
+# Java regex needs the Is- prefix (\p{IsHan}), RE2/DuckDB takes the
+# bare name (\p{Han}) — oracle twins must mind the spelling.
+_SCRIPTS = ["latin", "cyrillic", "han", "arabic", "devanagari",
+            "greek", "hangul", "hiragana", "katakana"]
+
+
+def script_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Writing-system composition per document: per-script character
+    counts plus the dominant script — the multilingual-corpus triage
+    signal that catches what token-level language ID misses (mixed-
+    script spam, mojibake that decodes into the wrong plane,
+    transliteration). Pure JVM ``regexp_count`` projection — no
+    Python, no shuffle, pipelines with the scan.
+
+    Returns (id, n_<script>... , n_other, dominant_script); dominant
+    is the max-count script with lexicographic tie-break, or 'none'
+    when no scripted character occurs.
+    """
+    text = F.col(text_col)
+    counts = {
+        s: F.regexp_count(text, F.lit(rf"\p{{Is{s.capitalize()}}}"))
+        for s in _SCRIPTS
+    }
+    total_scripted = None
+    for c in counts.values():
+        total_scripted = c if total_scripted is None else total_scripted + c
+    dominant = F.lit("none")
+    best = F.lit(0)
+    # forward lexicographic order + strict > : the smallest name sets
+    # the count first and an equal later count cannot displace it, so
+    # ties resolve to the lexicographically smallest script
+    for s in sorted(_SCRIPTS):
+        take = counts[s] > best
+        dominant = F.when(take, F.lit(s)).otherwise(dominant)
+        best = F.when(take, counts[s]).otherwise(best)
+    out = [F.col(id_col).alias("id")]
+    out += [counts[s].alias(f"n_{s}") for s in _SCRIPTS]
+    out.append((F.length(text) - total_scripted).alias("n_other"))
+    out.append(dominant.alias("dominant_script"))
+    return df.select(*out)

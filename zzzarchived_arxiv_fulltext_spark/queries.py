@@ -890,6 +890,83 @@ def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "script_profile_triage",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             text || repeat('ж', doc_id % 4) || repeat('中', doc_id % 3)
+               AS text
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, length(text) AS n_chars,
+        length(regexp_extract_all(text, '\p{Latin}'))::INT AS n_latin,
+        length(regexp_extract_all(text, '\p{Cyrillic}'))::INT AS n_cyrillic,
+        length(regexp_extract_all(text, '\p{Han}'))::INT AS n_han,
+        length(regexp_extract_all(text, '\p{Arabic}'))::INT AS n_arabic,
+        length(regexp_extract_all(text, '\p{Devanagari}'))::INT
+          AS n_devanagari,
+        length(regexp_extract_all(text, '\p{Greek}'))::INT AS n_greek,
+        length(regexp_extract_all(text, '\p{Hangul}'))::INT AS n_hangul,
+        length(regexp_extract_all(text, '\p{Hiragana}'))::INT AS n_hiragana,
+        length(regexp_extract_all(text, '\p{Katakana}'))::INT AS n_katakana
+      FROM d
+    )
+    SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_devanagari,
+           n_greek, n_hangul, n_hiragana, n_katakana,
+           (n_chars - (n_latin + n_cyrillic + n_han + n_arabic
+                       + n_devanagari + n_greek + n_hangul + n_hiragana
+                       + n_katakana))::INT AS n_other,
+           CASE
+             WHEN greatest(n_latin, n_cyrillic, n_han, n_arabic,
+                           n_devanagari, n_greek, n_hangul, n_hiragana,
+                           n_katakana) = 0 THEN 'none'
+             WHEN n_arabic = greatest(n_latin, n_cyrillic, n_han,
+                  n_arabic, n_devanagari, n_greek, n_hangul,
+                  n_hiragana, n_katakana) THEN 'arabic'
+             WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_han,
+                  n_arabic, n_devanagari, n_greek, n_hangul,
+                  n_hiragana, n_katakana) THEN 'cyrillic'
+             WHEN n_devanagari = greatest(n_latin, n_cyrillic, n_han,
+                  n_arabic, n_devanagari, n_greek, n_hangul,
+                  n_hiragana, n_katakana) THEN 'devanagari'
+             WHEN n_greek = greatest(n_latin, n_cyrillic, n_han,
+                  n_arabic, n_devanagari, n_greek, n_hangul,
+                  n_hiragana, n_katakana) THEN 'greek'
+             WHEN n_han = greatest(n_latin, n_cyrillic, n_han,
+                  n_arabic, n_devanagari, n_greek, n_hangul,
+                  n_hiragana, n_katakana) THEN 'han'
+             WHEN n_hangul = greatest(n_latin, n_cyrillic, n_han,
+                  n_arabic, n_devanagari, n_greek, n_hangul,
+                  n_hiragana, n_katakana) THEN 'hangul'
+             WHEN n_hiragana = greatest(n_latin, n_cyrillic, n_han,
+                  n_arabic, n_devanagari, n_greek, n_hangul,
+                  n_hiragana, n_katakana) THEN 'hiragana'
+             WHEN n_katakana = greatest(n_latin, n_cyrillic, n_han,
+                  n_arabic, n_devanagari, n_greek, n_hangul,
+                  n_hiragana, n_katakana) THEN 'katakana'
+             ELSE 'latin'
+           END AS dominant_script
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_script_profile_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode writing-system composition with planted Cyrillic/Han
+    suffixes (doc_id % 4 / % 3 chars) so non-Latin counts are
+    exercised; the oracle replays the per-script regexp counts and
+    the lexicographic-smallest dominant-script tie-break in RE2."""
+    from .operators.text_metrics import script_profile
+
+    planted = F.concat(
+        F.col("text"),
+        F.repeat(F.lit("ж"), (F.col("doc_id") % 4).cast("int")),
+        F.repeat(F.lit("中"), (F.col("doc_id") % 3).cast("int")))
+    docs = _docs(spark, sf_dir).select("doc_id", planted.alias("text"))
+    return (script_profile(docs)
+            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+
+
+@_register(
     "corpus_datasheet",
     """
     WITH t AS (
