@@ -660,3 +660,41 @@ def test_pdf_four_column_with_noise_line():
     # stray sorts inside column 3 (below its last line), not as its
     # own column
     assert out.index("stray") == out.index("c3l2") + 1
+
+
+def test_column_splits_invariants_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zzzarchived_arxiv_fulltext_spark.functions.pdf_text import (
+        _COLUMN_GAP,
+        _column_splits,
+    )
+
+    recs = st.lists(
+        st.tuples(st.floats(0, 2000, allow_nan=False),
+                  st.floats(0, 800, allow_nan=False),
+                  st.integers(0, 100), st.just("t")),
+        min_size=0, max_size=60)
+
+    @settings(max_examples=200, deadline=None)
+    @given(recs)
+    def check(records):
+        splits = _column_splits(records)
+        assert splits == sorted(splits)
+        # every produced column holds >= 3 records
+        if splits:
+            from bisect import bisect_right
+            counts = [0] * (len(splits) + 1)
+            for r in records:
+                counts[bisect_right(splits, r[0])] += 1
+            assert min(counts) >= 3
+            # adjacent x-clusters on either side of a split are
+            # separated by more than the gap threshold
+            xs = sorted({round(r[0]) for r in records})
+            for s in splits:
+                below = max(x for x in xs if x < s)
+                above = min(x for x in xs if x > s)
+                assert above - below > _COLUMN_GAP
+
+    check()

@@ -230,3 +230,24 @@ def test_script_profile_tie_breaks_lexicographically(spark):
     r = script_profile(df).collect()[0]
     assert r["n_cyrillic"] == 2 and r["n_han"] == 2
     assert r["dominant_script"] == "cyrillic"
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.text_metrics import (
+        compression_ratio,
+    )
+    import os
+
+    df = spark.createDataFrame(
+        [(1, "spam " * 400),                      # ultra-redundant
+         (2, "the quick brown fox jumps over the lazy dog. " * 40),
+         (3, os.urandom(1000).hex()),             # high-entropy hex
+         (4, "")],
+        "doc_id long, text string")
+    got = {r["id"]: r for r in compression_ratio(df).collect()}
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"] \
+        < got[3]["compression_ratio"]
+    assert got[1]["compression_ratio"] < 0.05   # boilerplate signature
+    assert got[3]["compression_ratio"] > 0.5
+    assert got[4]["compression_ratio"] is None  # empty → no signal
+    assert got[2]["n_bytes"] == 45 * 40
