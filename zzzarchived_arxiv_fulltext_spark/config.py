@@ -85,6 +85,12 @@ def build_spark(
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
         .config("spark.sql.files.openCostInBytes", "512k")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # bucketed saveAsTable targets (plans/bucketed_tables) must
+        # never land in the caller's cwd
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               os.path.join(tempfile.gettempdir(),
+                                            "spark_graft_warehouse")))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
