@@ -32,9 +32,25 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
                    n_buckets: int, sort: bool = True,
                    mode: str = "overwrite") -> None:
     """Persist ``df`` as a parquet table bucketed (and bucket-sorted)
-    by ``bucket_col`` into the session warehouse."""
+    by ``bucket_col`` into the session warehouse.
+
+    ``overwrite`` also clears an ORPHAN location: a managed-table
+    directory left by a previous session is invisible to this
+    session's in-memory catalog, and a plain ``saveAsTable`` refuses
+    it with LOCATION_ALREADY_EXISTS.
+    """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
+    spark = df.sparkSession
+    if mode == "overwrite":
+        import os
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = os.path.join(wh.removeprefix("file:"), table.lower())
+        if wh and os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     writer = (df.write.format("parquet").mode(mode)
               .bucketBy(n_buckets, bucket_col))
     if sort:
