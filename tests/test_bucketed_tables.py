@@ -51,16 +51,37 @@ def test_bucketed_join_has_no_exchange(spark, no_broadcast):
     assert "Exchange" in _plan(control)
 
 
+def _sort_nodes(plan: str) -> int:
+    # formatted plans list operators as '(N) Sort' — count the Sort
+    # OPERATORS, not the SortMergeJoin substring
+    import re
+
+    return len(re.findall(r"\(\d+\) Sort\b", plan))
+
+
 def test_bucket_sorted_tables_skip_the_sort(spark, no_broadcast):
-    a = spark.range(0, 2000).select(F.col("id").alias("k"))
-    b = spark.range(0, 2000).select(F.col("id").alias("k"))
-    write_bucketed(a, "bt_sa", "k", 4, sort=True)
-    write_bucketed(b, "bt_sb", "k", 4, sort=True)
-    plan = _plan(co_located_join(spark, "bt_sa", "bt_sb", on="k"))
-    assert "Exchange" not in plan, plan
-    # sortBy at write time → no per-task Sort before the merge join
-    assert "Sort " not in plan.split("SortMergeJoin")[0] or \
-        plan.count("Sort") <= plan.count("SortMergeJoin"), plan
+    """Sorted one-file-per-bucket layouts + the sorted-scan conf plan
+    with ZERO Sort operators; without sortBy the per-task sorts come
+    back — proving the assertion bites."""
+    conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    old = spark.conf.get(conf, "false")
+    spark.conf.set(conf, "true")
+    try:
+        a = spark.range(0, 2000).select(F.col("id").alias("k"))
+        b = spark.range(0, 2000).select(F.col("id").alias("k"))
+        write_bucketed(a, "bt_sa", "k", 4, sort=True)
+        write_bucketed(b, "bt_sb", "k", 4, sort=True)
+        plan = _plan(co_located_join(spark, "bt_sa", "bt_sb", on="k"))
+        assert "Exchange" not in plan, plan
+        assert _sort_nodes(plan) == 0, plan
+
+        write_bucketed(a, "bt_ua", "k", 4, sort=False)
+        write_bucketed(b, "bt_ub", "k", 4, sort=False)
+        unsorted = _plan(co_located_join(spark, "bt_ua", "bt_ub", on="k"))
+        assert "Exchange" not in unsorted, unsorted
+        assert _sort_nodes(unsorted) >= 2, unsorted
+    finally:
+        spark.conf.set(conf, old)
 
 
 def test_write_bucketed_validates(spark):

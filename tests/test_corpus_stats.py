@@ -466,3 +466,19 @@ def test_bpe_train_merges_validates(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bpe_train_merges(df, n_merges=0)
+
+
+def test_bpe_merge_empty_tokens_do_not_cascade(spark):
+    """Review fix: runs of empty tokens (from separator runs) must
+    pair up non-overlapping — '' '' '' merges to '' '', never
+    cascades to a single token."""
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame([(1, "  ")],  # three empty tokens
+                               "doc_id long, text string")
+    got = [(r["round"], r["left"], r["right"], r["pair_count"])
+           for r in bpe_train_merges(df, n_merges=2)
+           .orderBy("round").collect()]
+    assert got == [(1, "", "", 2), (2, "", "", 1)]

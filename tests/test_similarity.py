@@ -95,9 +95,10 @@ def test_quantize_embeddings_roundtrip_and_scales(spark):
             (3, [0.635, 0.5, 0.0, 0.0005])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     scales = dimension_scales(df, dim=4)
-    # dim 0: maxabs 1.27 → scale 0.01; dim 2 all-zero → epsilon floor
+    # dim 0: maxabs 1.27 → scale 0.01; dim 2 all-zero → the exact
+    # documented epsilon floor max(max|v|, 1e-12)/127
     assert abs(scales[0] - 1.27 / 127) < 1e-12
-    assert scales[2] == 1e-12 / 127 * 127 or scales[2] > 0
+    assert scales[2] == 1e-12 / 127.0
     got = {r["vec_id"]: r for r in
            quantize_embeddings(df, dim=4).collect()}
     assert got[1]["qvec"][0] == 127       # the max element hits +127

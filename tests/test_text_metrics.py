@@ -251,3 +251,15 @@ def test_compression_ratio_orders_redundancy(spark):
     assert got[3]["compression_ratio"] > 0.5
     assert got[4]["compression_ratio"] is None  # empty → no signal
     assert got[2]["n_bytes"] == 45 * 40
+
+
+def test_script_profile_null_text_is_none(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.text_metrics import (
+        script_profile,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, "abc")],
+                               "doc_id long, text string")
+    got = {r["id"]: r for r in script_profile(df).collect()}
+    assert got[1]["dominant_script"] == "none"
+    assert got[1]["n_latin"] == 0 and got[1]["n_other"] == 0

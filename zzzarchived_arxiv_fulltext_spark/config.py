@@ -11,6 +11,7 @@ UDFs over documents of wildly varying size):
   resume path and the metrics aggregation benefit at scale.
 """
 
+import getpass
 import os
 import shutil
 import tempfile
@@ -86,11 +87,15 @@ def build_spark(
         .config("spark.sql.files.openCostInBytes", "512k")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # bucketed saveAsTable targets (plans/bucketed_tables) must
-        # never land in the caller's cwd
+        # never land in the caller's cwd, and the default is PER-USER:
+        # a world-shared /tmp dir would let one session's overwrite
+        # rmtree a table another user's session is still scanning
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_GRAFT_WAREHOUSE",
-                               os.path.join(tempfile.gettempdir(),
-                                            "spark_graft_warehouse")))
+                               os.path.join(
+                                   tempfile.gettempdir(),
+                                   f"spark_graft_warehouse_"
+                                   f"{getpass.getuser()}")))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")

@@ -604,31 +604,55 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 3,
 
     Scale per round: one map-side-combinable pair count over the
     corpus, a ``TakeOrderedAndProject`` top-1 (bounded driver
-    metadata, like IVF centroids), and one pure-JVM fold
-    (``F.aggregate``) that rewrites each sequence in place — no
-    Python, no growing lineage (the token frame is localCheckpointed
-    each round, same discipline as ``page_rank``). Adjacent pairs are
-    counted with overlap (the common BPE implementation choice).
+    metadata, like IVF centroids), and one O(n) pure-JVM string
+    rewrite: every token is wrapped in OPEN/CLOSE sentinels
+    (``\\x01tok\\x02``) so merging pair (l, r) is one literal
+    ``replace('\\x01l\\x02\\x01r\\x02' → '\\x01lr\\x02')``. Adjacent
+    matches share NO characters (each consumes whole wrapped tokens),
+    so Java's sequential replace is exactly the left-to-right
+    non-overlapping BPE pass — a run of identical (or empty) tokens
+    pairs up without cascading. An earlier array-fold version copied
+    the whole accumulator per element — O(n²) per document per round.
+    No growing lineage (localCheckpoint per round, same discipline as
+    ``page_rank``). Adjacent pairs are counted WITH overlap (the
+    common BPE implementation choice); the sentinel bytes are
+    scrubbed from input text (they cannot occur in real tokens).
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.col(text_col), " ").alias("ts"))
+    B1, B2 = "\x01", "\x02"
+    clean = F.replace(
+        F.replace(F.col(text_col), F.lit(B1), F.lit("")),
+        F.lit(B2), F.lit(""))
+    seq0 = F.concat(
+        F.lit(B1),
+        F.array_join(F.split(clean, " "), B2 + B1),
+        F.lit(B2))
+    state = df.select(F.col(id_col).alias("id"), seq0.alias("seq"))
 
-    def adjacent_pairs(col):
+    def tokens(col):
+        # strip the outer open/close sentinels, split on the inner
+        # close+open pairs
+        return F.split(
+            F.substring(F.col(col), 2,
+                        F.length(F.col(col)) - 2), B2 + B1)
+
+    def adjacent_pairs(ts):
         # sequence(1, 0) counts DOWN in Spark, so a sub-2-token array
         # must short-circuit to an empty pair list
-        return F.expr(
-            f"CASE WHEN size({col}) < 2 THEN "
-            f"CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) "
-            f"ELSE transform(sequence(1, size({col}) - 1),"
-            f" i -> struct({col}[i - 1] AS l, {col}[i] AS r)) END")
+        return F.when(
+            F.size(ts) < 2,
+            F.expr("CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>)"),
+        ).otherwise(F.expr(
+            "transform(sequence(1, size(__ts) - 1),"
+            " i -> struct(__ts[i - 1] AS l, __ts[i] AS r))"))
 
     merges = []
     for rnd in range(1, n_merges + 1):
+        with_ts = state.withColumn("__ts", tokens("seq"))
         top = (
-            toks.select(F.explode(adjacent_pairs("ts")).alias("p"))
+            with_ts.select(
+                F.explode(adjacent_pairs(F.col("__ts"))).alias("p"))
             .groupBy("p.l", "p.r").agg(F.count("*").alias("c"))
             .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
             .limit(1)
@@ -638,19 +662,12 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 3,
             break
         l, r, c = top["l"], top["r"], int(top["c"])
         merges.append((rnd, l, r, c))
-        merged = F.lit(l + r)
-        fold = F.aggregate(
-            F.col("ts"),
-            F.expr("CAST(array() AS ARRAY<STRING>)"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(l))
-                & (x == F.lit(r)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                         F.array(merged)),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        toks = toks.select("id", fold.alias("ts")).localCheckpoint()
+        state = state.select(
+            "id",
+            F.replace(F.col("seq"),
+                      F.lit(B1 + l + B2 + B1 + r + B2),
+                      F.lit(B1 + l + r + B2)).alias("seq"),
+        ).localCheckpoint()
 
     return df.sparkSession.createDataFrame(
         merges, "round int, left string, right string, pair_count long")

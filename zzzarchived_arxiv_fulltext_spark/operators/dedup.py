@@ -363,29 +363,25 @@ def dedup_lines_global(df: DataFrame, text_col: str = "text",
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "line"),
     )
-    eligible = lines.where(F.length("line") >= min_chars)
+    survivors = lines
     if exclude_keys is not None:
-        eligible = eligible.join(
-            exclude_keys.select(F.col("line_hash")),
-            on=F.md5(F.col("line")) == F.col("line_hash"),
-            how="left_anti")
-    keepers = (
-        eligible
-        .groupBy("line")
-        .agg(F.min(F.struct(F.col("id").alias("kid"),
-                            F.col("idx").alias("kidx"))).alias("k"))
-    )
-    seen_filter = lines
-    if exclude_keys is not None:
-        # lines killed by the committed index must not survive via
-        # the keeper-is-null (exempt) branch below
-        seen_filter = lines.join(
+        # ONE anti-join kills committed eligible lines everywhere;
+        # keeper election below then derives from the survivors with a
+        # cheap filter (a second full anti-join would double the
+        # dominant shuffle of the incremental wave)
+        survivors = lines.join(
             exclude_keys.select("line_hash"),
             on=(F.md5(F.col("line")) == F.col("line_hash"))
             & (F.length(F.col("line")) >= min_chars),
             how="left_anti")
+    keepers = (
+        survivors.where(F.length("line") >= min_chars)
+        .groupBy("line")
+        .agg(F.min(F.struct(F.col("id").alias("kid"),
+                            F.col("idx").alias("kidx"))).alias("k"))
+    )
     kept = (
-        seen_filter.join(keepers, on="line", how="left")
+        survivors.join(keepers, on="line", how="left")
         .where(F.col("k").isNull()
                | ((F.col("id") == F.col("k.kid"))
                   & (F.col("idx") == F.col("k.kidx"))))

@@ -428,9 +428,11 @@ def script_profile(df: DataFrame, text_col: str = "text",
 
     Returns (id, n_<script>... , n_other, dominant_script); dominant
     is the max-count script with lexicographic tie-break, or 'none'
-    when no scripted character occurs.
+    when no scripted character occurs. NULL text counts as empty
+    (all-zero counts, dominant 'none') — NULL-propagating regexp
+    counts would diverge from any SQL twin's CASE fall-through.
     """
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     counts = {
         s: F.regexp_count(text, F.lit(rf"\p{{Is{s.capitalize()}}}"))
         for s in _SCRIPTS

@@ -15,7 +15,13 @@ Rules of the layout (enforced here):
   but same-n is the predictable fast path);
 - bucket columns must be the join key (subset joins re-shuffle);
 - ``sortBy`` the key inside each bucket so the merge join also skips
-  the per-task sort.
+  the per-task sort. Two preconditions for the sort elision: each
+  bucket must be ONE file (``write_bucketed(sort=True)`` repartitions
+  by the bucket key to guarantee it) and
+  ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` (Spark
+  3.0+ stopped trusting bucket sort order by default precisely
+  because of the multi-file case). The Exchange elision needs
+  neither.
 
 At 100 TB: bucket count ≈ table_bytes / (target 256 MB–1 GB per
 bucket-file per partition); the write is one extra shuffle, repaid on
@@ -51,6 +57,15 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
         loc = os.path.join(wh.removeprefix("file:"), table.lower())
         if wh and os.path.isdir(loc):
             shutil.rmtree(loc, ignore_errors=True)
+    if sort:
+        # one file per bucket: Spark only trusts (and skips re-sorting
+        # on) a bucket's sort order when the bucket is a SINGLE file,
+        # and a multi-task write splits each bucket across tasks.
+        # repartition uses the same murmur3 hash as the bucketing, so
+        # every task holds exactly one bucket's rows.
+        from pyspark.sql import functions as F
+
+        df = df.repartition(n_buckets, F.col(bucket_col))
     writer = (df.write.format("parquet").mode(mode)
               .bucketBy(n_buckets, bucket_col))
     if sort:
