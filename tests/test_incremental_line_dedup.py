@@ -66,3 +66,35 @@ def test_exempt_short_lines_survive_every_wave(spark, tmp_path):
     out = _collect(run_line_dedup_increment(
         spark, _df(spark, w2), table, min_chars=5))
     assert out[2] == ("ok\nfresh content", 1)
+
+
+def test_streaming_line_dedup_equals_batch(spark, tmp_path):
+    """The standing stream service over three file waves produces the
+    same cleaned corpus as one batch pass, and a restart drains only
+    the new files."""
+    from zzzarchived_arxiv_fulltext_spark.streaming.stream_dedup import (
+        run_streaming_line_dedup,
+    )
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    index = SnapshotTable(str(tmp_path / "index"))
+    output = SnapshotTable(str(tmp_path / "out"))
+
+    def drop(rows, name):
+        _df(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+            f"{landing}/{name}")
+
+    # file-source streams need a stable dir; write waves as subdirs
+    drop(WAVE1, "w1")
+    run_streaming_line_dedup(
+        spark, f"{landing}/*", ckpt, index, output)
+    drop(WAVE2, "w2")
+    drop(WAVE3, "w3")
+    run_streaming_line_dedup(
+        spark, f"{landing}/*", ckpt, index, output)
+
+    got = _collect(output.read(spark))
+    batch = _collect(dedup_lines_global(
+        _df(spark, WAVE1 + WAVE2 + WAVE3)))
+    assert got == batch

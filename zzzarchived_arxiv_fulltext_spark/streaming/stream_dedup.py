@@ -127,3 +127,56 @@ def run_streaming_near_dedup(
         query.awaitTermination()
         return query
     return writer.start()
+
+
+def run_streaming_line_dedup(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    index_table: SnapshotTable,
+    output_table: SnapshotTable,
+    schema: str = "doc_id long, text string",
+    min_chars: int = 1,
+    available_now: bool = True,
+):
+    """Standing GLOBAL line dedup service: each micro-batch's lines
+    dedup against the committed keeper index
+    (``plans/incremental_line_dedup``) and the cleaned documents
+    append to ``output_table`` — C4-style boilerplate-line removal as
+    a stream, O(batch + index-join) per trigger, never O(history).
+
+    Exactly-once under replay: the keeper-index append and the output
+    append are both stamped with the micro-batch id; a replayed batch
+    reads history EXCLUDING its own stamp (so its earlier partial
+    index append cannot classify its lines as duplicates of
+    themselves) and skips any append already committed.
+    """
+    from ..plans.incremental_line_dedup import run_line_dedup_increment
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(landing_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if output_table.has_meta("stream_batch_id", batch_id):
+            return  # full replay of an already-committed batch
+        if batch_df.isEmpty():
+            return
+        meta = {"stream_batch_id": batch_id}
+        batch_df = batch_df.localCheckpoint(eager=True)
+        out = run_line_dedup_increment(
+            spark, batch_df, index_table,
+            min_chars=min_chars, commit_meta=meta)
+        output_table.append(out, meta=meta)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.start()
