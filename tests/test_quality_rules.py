@@ -75,3 +75,49 @@ def test_c4_page_level_drops(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     kept = sorted(r["doc_id"] for r in c4_line_filter(df).collect())
     assert kept == [1]
+
+
+def test_license_tags_specificity(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.quality_rules import (
+        license_tags,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "This work is CC-BY-SA licensed."),
+         (2, "Creative Commons Attribution applies"),
+         (3, "dual: MIT license AND Apache License, Version 2.0"),
+         (4, "nothing declared"),
+         (5, None)],
+        "doc_id long, text string")
+    got = {r["id"]: r for r in license_tags(df).collect()}
+    # the SA variant must not also tag as plain CC-BY
+    assert got[1]["has_cc_by_sa"] and not got[1]["has_cc_by"]
+    assert got[1]["license_summary"] == "cc-by-sa"
+    assert got[2]["has_cc_by"] and got[2]["license_summary"] == "cc-by"
+    assert got[3]["has_mit"] and got[3]["has_apache_2"]
+    assert got[3]["license_summary"] == "apache-2,mit"  # sorted
+    assert got[4]["license_summary"] == ""
+    assert got[5]["license_summary"] == ""  # NULL text
+
+
+def test_flag_blocklisted_terms_whole_word(spark):
+    import pytest
+
+    from zzzarchived_arxiv_fulltext_spark.operators.quality_rules import (
+        flag_blocklisted_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "bad BAD badly bad-ish bad"),
+         (2, "all clean here")],
+        "doc_id long, text string")
+    got = {r["id"]: r for r in
+           flag_blocklisted_terms(df, ["bad"]).collect()}
+    # case-insensitive whole words: bad, BAD, bad(-ish), bad = 4;
+    # 'badly' is not a whole-word match
+    assert got[1]["n_blocklisted"] == 4
+    assert got[2]["n_blocklisted"] == 0
+    sub = flag_blocklisted_terms(df, ["bad"], whole_words=False)
+    assert {r["id"]: r["n_blocklisted"] for r in sub.collect()}[1] == 5
+    with pytest.raises(ValueError):
+        flag_blocklisted_terms(df, [])

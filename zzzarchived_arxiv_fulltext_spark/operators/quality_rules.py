@@ -128,3 +128,75 @@ def c4_line_filter(df: DataFrame, text_col: str = "text",
         & ~text.contains("{")
     )
     return out
+
+
+# License markers worth tagging in a pretraining corpus (Dolma-style
+# taggers): detection REGEX per tag, ordered so more specific tags
+# (by-sa before by) are matched independently, not first-wins.
+LICENSE_PATTERNS = {
+    "cc-by": r"(?i)creative\s+commons\s+attribution|CC[- ]BY(?![- ]?(SA|NC|ND))",
+    "cc-by-sa": r"(?i)CC[- ]BY[- ]?SA|attribution[- ]sharealike",
+    "cc-by-nc": r"(?i)CC[- ]BY[- ]?NC|attribution[- ]noncommercial",
+    "cc0": r"(?i)\bCC0\b|public\s+domain\s+dedication",
+    "mit": r"(?i)\bMIT\s+licen[sc]e\b",
+    "apache-2": r"(?i)Apache\s+Licen[sc]e,?\s+Version\s+2|Apache-2\.0",
+    "gpl": r"(?i)GNU\s+General\s+Public\s+Licen[sc]e|\bGPL[- ]?v?[23]\b",
+    "all-rights-reserved": r"(?i)all\s+rights\s+reserved",
+}
+
+
+def license_tags(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Tag documents with the license markers their text declares —
+    the provenance pass a responsible pretraining pipeline runs
+    before mixing (keep permissive, route copyleft, drop
+    all-rights-reserved). One pure-JVM projection: a boolean
+    ``rlike`` per pattern plus a sorted comma-joined summary column
+    (scalar-safe for downstream grouping).
+
+    Returns (id, has_<tag>..., license_summary) where the summary is
+    '' when nothing matched.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    flags = {tag: text.rlike(pat) for tag, pat in
+             sorted(LICENSE_PATTERNS.items())}
+    summary = F.concat_ws(",", *[
+        F.when(flag, F.lit(tag)).otherwise(F.lit(None))
+        for tag, flag in sorted(flags.items())
+    ])
+    out = [F.col(id_col).alias("id")]
+    out += [flag.alias(f"has_{tag.replace('-', '_')}")
+            for tag, flag in sorted(flags.items())]
+    out.append(summary.alias("license_summary"))
+    return df.select(*out)
+
+
+def flag_blocklisted_terms(df: DataFrame, terms, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           whole_words: bool = True) -> DataFrame:
+    """Count blocklisted-term occurrences per document (toxicity /
+    NSFW wordlist tagger). The TERM LIST is pipeline configuration
+    (bounded, curated), so it compiles into ONE alternation regex —
+    a single JVM ``regexp_count`` per row, not a term-table join; a
+    corpus-scale blocklist belongs in ``filter_blocked_domains``-style
+    suffix joins instead.
+
+    Returns (id, n_blocklisted, blocklisted_frac) with the fraction
+    over whitespace tokens; matching is case-insensitive, whole-word
+    by default.
+    """
+    import re as _re
+
+    terms = [t for t in terms if t]
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    alt = "|".join(sorted(_re.escape(t) for t in terms))
+    pat = rf"(?i)\b(?:{alt})\b" if whole_words else rf"(?i)(?:{alt})"
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.regexp_count(text, F.lit(pat))
+    n_tokens = F.size(F.split(text, " "))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_blocklisted"),
+        F.round(n / n_tokens, 6).alias("blocklisted_frac"),
+    )

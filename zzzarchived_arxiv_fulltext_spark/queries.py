@@ -967,6 +967,78 @@ def q_script_profile_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "license_detection",
+    """
+    SELECT doc_id,
+      (doc_id % 9 = 7) AS has_all_rights_reserved,
+      (doc_id % 9 = 5) AS has_apache_2,
+      (doc_id % 9 = 0) AS has_cc_by,
+      (doc_id % 9 = 2) AS has_cc_by_nc,
+      (doc_id % 9 = 1) AS has_cc_by_sa,
+      (doc_id % 9 = 3) AS has_cc0,
+      (doc_id % 9 = 6) AS has_gpl,
+      (doc_id % 9 = 4) AS has_mit,
+      CASE doc_id % 9
+        WHEN 0 THEN 'cc-by' WHEN 1 THEN 'cc-by-sa'
+        WHEN 2 THEN 'cc-by-nc' WHEN 3 THEN 'cc0' WHEN 4 THEN 'mit'
+        WHEN 5 THEN 'apache-2' WHEN 6 THEN 'gpl'
+        WHEN 7 THEN 'all-rights-reserved' ELSE '' END
+        AS license_summary
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_license_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License/provenance tagging on planted declarations — each
+    doc_id % 9 class carries exactly one marker phrase (including the
+    CC-BY-SA / CC-BY-NC phrases that must NOT also tag as plain
+    CC-BY), class 8 none; the oracle is the closed form."""
+    from .operators.quality_rules import license_tags
+
+    k = F.col("doc_id") % 9
+    planted = (
+        F.when(k == 0, F.lit("Licensed under Creative Commons Attribution 4.0"))
+        .when(k == 1, F.lit("CC-BY-SA 3.0 applies to this work"))
+        .when(k == 2, F.lit("Shared under CC BY-NC terms"))
+        .when(k == 3, F.lit("Released as CC0 public domain dedication"))
+        .when(k == 4, F.lit("Distributed under the MIT license"))
+        .when(k == 5, F.lit("Apache License, Version 2.0"))
+        .when(k == 6, F.lit("GNU General Public License v3"))
+        .when(k == 7, F.lit("Copyright 2020. All rights reserved."))
+        .otherwise(F.lit("no marker text in this document")))
+    docs = _docs(spark, sf_dir).select("doc_id", planted.alias("text"))
+    return (license_tags(docs)
+            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+
+
+@_register(
+    "blocklisted_term_tagging",
+    """
+    SELECT doc_id,
+      (doc_id % 3)::INT AS n_blocklisted,
+      round((doc_id % 3) / (4.0 + (doc_id % 3)), 6) AS blocklisted_frac
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_blocklisted_term_tagging(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Wordlist tagger on planted terms: doc_id % 3 whole-word hits
+    per doc plus one 'badwording' decoy that the word boundary must
+    NOT count; closed-form oracle."""
+    from .operators.quality_rules import flag_blocklisted_terms
+
+    k = (F.col("doc_id") % 3).cast("int")
+    planted = F.concat(
+        F.lit("clean text here"),
+        F.repeat(F.lit(" badword"), k),
+        F.lit(" badwording"))
+    docs = _docs(spark, sf_dir).select("doc_id", planted.alias("text"))
+    return (flag_blocklisted_terms(docs, ["badword", "otherbad"])
+            .withColumnRenamed("id", "doc_id")
+            .withColumn("n_blocklisted", F.col("n_blocklisted").cast("int"))
+            .orderBy("doc_id"))
+
+
+@_register(
     "corpus_datasheet",
     """
     WITH t AS (
