@@ -38,43 +38,46 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     frequent word / word-bigram. Machine-generated and boilerplate
     text scores high; the standard cut is ~0.2 for the top bigram.
 
-    Two map-side-combinable aggregations (doc×gram, then doc) and a
-    join back — no per-doc Python, scale-safe.
+    Words and bigrams ride ONE explode (tagged by kind) through one
+    (doc, kind, term) count and one per-doc rollup — a single scan,
+    two map-side-combinable shuffles, NO join (the earlier
+    two-pipeline version scanned and shuffled the corpus twice and
+    joined the halves back).
     """
-    words = _words(df, text_col, id_col)
-    word_counts = words.groupBy("id", "w").agg(F.count("*").alias("c"))
-    word_stats = word_counts.groupBy("id").agg(
-        F.sum("c").alias("n_words"),
-        F.count("*").alias("n_distinct"),
-        F.max("c").alias("top_word_c"),
-    )
-
     ws = F.split(F.col(text_col), " ")
     bigrams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(ws) - 2, F.lit(0))),
         lambda k: F.array_join(F.slice(ws, k + 1, 2), " "),
     )
-    bigram_counts = (
-        df.select(F.col(id_col).alias("id"),
-                  F.explode(bigrams).alias("g"))
-        .groupBy("id", "g").agg(F.count("*").alias("c"))
+    items = F.concat(
+        F.transform(ws, lambda w: F.struct(
+            F.lit(0).alias("kind"), w.alias("t"))),
+        F.transform(bigrams, lambda g: F.struct(
+            F.lit(1).alias("kind"), g.alias("t"))),
     )
-    bigram_stats = bigram_counts.groupBy("id").agg(
-        F.sum("c").alias("n_bigrams"),
-        F.max("c").alias("top_bigram_c"),
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(items).alias("it")
+    ).select("id", F.col("it.kind").alias("kind"),
+             F.col("it.t").alias("t"))
+    counts = exploded.groupBy("id", "kind", "t").agg(
+        F.count("*").alias("c"))
+    is_w = F.col("kind") == 0
+    stats = counts.groupBy("id").agg(
+        F.sum(F.when(is_w, F.col("c"))).alias("n_words"),
+        F.count(F.when(is_w, F.lit(1))).alias("n_distinct"),
+        F.max(F.when(is_w, F.col("c"))).alias("top_word_c"),
+        F.sum(F.when(~is_w, F.col("c"))).alias("n_bigrams"),
+        F.max(F.when(~is_w, F.col("c"))).alias("top_bigram_c"),
     )
-    return (
-        word_stats.join(bigram_stats, on="id")
-        .select(
-            "id",
-            "n_words",
-            F.round(F.col("n_distinct") / F.col("n_words"), 6)
-            .alias("distinct_word_ratio"),
-            F.round(F.col("top_word_c") / F.col("n_words"), 6)
-            .alias("top_word_fraction"),
-            F.round(F.col("top_bigram_c") / F.col("n_bigrams"), 6)
-            .alias("top_bigram_fraction"),
-        )
+    return stats.select(
+        "id",
+        "n_words",
+        F.round(F.col("n_distinct") / F.col("n_words"), 6)
+        .alias("distinct_word_ratio"),
+        F.round(F.col("top_word_c") / F.col("n_words"), 6)
+        .alias("top_word_fraction"),
+        F.round(F.col("top_bigram_c") / F.col("n_bigrams"), 6)
+        .alias("top_bigram_fraction"),
     )
 
 
