@@ -542,6 +542,10 @@ def perplexity_buckets(scored: DataFrame, k: int = 3,
     a global-order window is a SinglePartition exchange at corpus
     scale. Tied perplexities share a bucket (min-rank semantics).
     Adds ``ppl_bucket``."""
+    # percentile_ranks triggers two bounded aggregate ACTIONS plus the
+    # final join; without materialization each action recomputes the
+    # whole upstream scoring pipeline (the LM joins) from scratch
+    scored = scored.localCheckpoint(eager=True)
     ranked = percentile_ranks(scored, ppl_col, id_col=id_col,
                               rank_col="_pr", rounded=False)
     bucket = F.least(F.floor(F.col("_pr") * k) + 1, F.lit(k))
