@@ -127,3 +127,19 @@ def test_truncated_u_entry_never_authenticates():
     assert decrypt_pdf(fake) is None
     # the extractor must still read the (plaintext) streams unharmed
     assert extract_pdf_page_texts(fake) == base
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.lists(st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0, max_size=40), min_size=1, max_size=4),
+    min_size=1, max_size=3))
+def test_roundtrip_fuzz_any_page_content(pages):
+    """Whatever the page text, encrypt-then-extract must equal
+    plain-extract (both r2/40-bit and r3/128-bit)."""
+    plain = make_simple_pdf(pages)
+    base = extract_pdf_page_texts(plain)
+    for r, bits in ((2, 40), (3, 128)):
+        assert extract_pdf_page_texts(
+            encrypt_pdf_rc4(plain, r=r, length_bits=bits)) == base
