@@ -413,3 +413,38 @@ def test_double_at_sign_cannot_bypass_blocklist(spark):
     assert kept == [3]
     from urllib.parse import urlparse
     assert urlparse("https://a@b@bad.com/x").hostname == "bad.com"
+
+
+def test_html_anchor_texts_pure():
+    from zzzarchived_arxiv_fulltext_spark.functions.html_extract import (
+        html_anchor_texts,
+    )
+
+    html = ('<a href="/a">first <b>bold</b> text</a>'
+            '<a href="https://x.com/b"></a>'          # empty anchor
+            '<a href="mailto:z@y">mail</a>'            # non-http dropped
+            '<a href="/c">un closed'                   # EOF closes it
+            )
+    got = html_anchor_texts(html, "https://e.org/page")
+    assert got == [("https://e.org/a", "first bold text"),
+                   ("https://x.com/b", ""),
+                   ("https://e.org/c", "un closed")]
+    assert html_anchor_texts(None) == []
+    assert html_anchor_texts("<a href='/x'>t", None) == []  # no base →
+    # relative href is not http(s) and is dropped
+
+
+def test_anchor_text_pairs_operator(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.weblinks import (
+        anchor_text_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "https://e.org/p",
+          '<a href="/a">go</a><a href="https://x.com">X</a>'),
+         (2, "https://e.org/q", "<p>no links</p>")],
+        "doc_id long, url string, html string")
+    got = sorted((r["doc_id"], r["target"], r["anchor"])
+                 for r in anchor_text_pairs(df).collect())
+    assert got == [(1, "https://e.org/a", "go"),
+                   (1, "https://x.com", "X")]

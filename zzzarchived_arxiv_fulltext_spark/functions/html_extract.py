@@ -236,6 +236,73 @@ def html_links(html: str, base_url: str = None) -> List[str]:
     return out
 
 
+class _AnchorParser(HTMLParser):
+    """(href, anchor text) pairs; nested anchors close the outer one
+    (HTML5 tree-builder behavior — anchors cannot nest)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.pairs: List[tuple] = []
+        self._href = None
+        self._text: List[str] = []
+
+    def _flush(self):
+        if self._href is not None:
+            self.pairs.append((self._href, "".join(self._text)))
+        self._href, self._text = None, []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            self._flush()
+            self._href = dict(attrs).get("href")
+
+    def handle_startendtag(self, tag, attrs):
+        if tag == "a":
+            self._flush()
+            href = dict(attrs).get("href")
+            if href:
+                self.pairs.append((href, ""))
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data):
+        if self._href is not None:
+            self._text.append(data)
+
+
+def html_anchor_texts(html: str, base_url: str = None) -> List[tuple]:
+    """(resolved_url, normalized anchor text) pairs in document order
+    — the weak-supervision signal retrieval corpora mine (anchor text
+    ≈ a human-written query for the target page). Same resolution
+    rules as :func:`html_links` (urljoin, fragment strip, http(s)
+    only); anchor text is whitespace-normalized and may be ''.
+    Malformed markup yields what was parsed so far, never raises.
+    """
+    from urllib.parse import urldefrag, urljoin
+
+    parser = _AnchorParser()
+    try:
+        parser.feed(html or "")
+        parser.close()
+    except Exception:
+        pass
+    parser._flush()
+    out = []
+    for href, text in parser.pairs:
+        if not href:
+            continue
+        try:
+            url = urljoin(base_url, href) if base_url else href
+            url = urldefrag(url)[0]
+        except ValueError:
+            continue
+        if url.startswith(("http://", "https://")):
+            out.append((url, _WS_RE.sub(" ", text).strip()))
+    return out
+
+
 def link_density(html: str) -> float:
     """Whole-document anchor-chars / text-chars (corpus triage stat)."""
     parser = _MainTextParser()

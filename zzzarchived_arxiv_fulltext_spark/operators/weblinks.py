@@ -411,3 +411,33 @@ def drop_noindex_pages(df: DataFrame, html_col: str = "html",
             [bool(html_metadata(h)["noindex"]) for h in htmls])
 
     return df.where(~noindex_udf(F.col(html_col)))
+
+
+def anchor_text_pairs(df: DataFrame, html_col: str = "html",
+                      url_col: str = "url",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(src doc, target url, anchor text) rows from raw HTML — the
+    weak-supervision signal retrieval corpora mine (anchor text is a
+    human-written query for its target page; aggregated per target it
+    becomes training data for dense retrievers).
+
+    One Arrow-batched pass carries the HTML (shared stdlib parser);
+    the explode and everything after is JVM. Pages without links
+    contribute no rows.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.html_extract import html_anchor_texts
+
+    @pandas_udf("array<struct<target: string, anchor: string>>")
+    def anchors_udf(htmls: pd.Series, bases: pd.Series) -> pd.Series:
+        return pd.Series(
+            [html_anchor_texts(h, b) for h, b in zip(htmls, bases)])
+
+    return df.select(
+        F.col(id_col),
+        F.explode(anchors_udf(F.col(html_col), F.col(url_col)))
+        .alias("a"),
+    ).select(id_col, F.col("a.target").alias("target"),
+             F.col("a.anchor").alias("anchor"))

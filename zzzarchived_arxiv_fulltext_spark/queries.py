@@ -3841,6 +3841,48 @@ def q_html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "anchor_text_mining",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             'https://'
+             || CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.'
+                ELSE '' END
+             || 'site' || (doc_id % 5)::VARCHAR
+             || CASE doc_id % 2 WHEN 0 THEN '.com' ELSE '.org' END
+               AS origin,
+             ((doc_id + 1) % 5)::VARCHAR AS k
+      FROM documents
+    )
+    SELECT doc_id, target, anchor FROM (
+      SELECT doc_id, 'https://site' || k || '.com/x' AS target,
+             'go to site ' || k AS anchor, 0 AS ord
+      FROM b
+      UNION ALL
+      SELECT doc_id, origin || '/rel/p', 'home page', 1 FROM b
+    ) ORDER BY doc_id, ord
+    """,
+)
+def q_anchor_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, target url, anchor text) pairs from REAL rendered HTML —
+    the retrieval weak-supervision signal. Each planted page carries
+    an absolute link with a known anchor and a relative link ('home
+    page') that must resolve against the page's own origin; the
+    oracle replays the closed form."""
+    from .operators.weblinks import anchor_text_pairs
+
+    k = ((F.col("doc_id") + 1) % 5).cast("string")
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a href="https://site'), k,
+        F.lit('.com/x">go to <b>site</b> '), k,
+        F.lit('</a> and <a href="/rel/p"> home\n page </a></body></html>'),
+    )
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", _planted_url().alias("url"), html.alias("html"))
+    return anchor_text_pairs(pages).orderBy("doc_id", "target")
+
+
+@_register(
     "corpus_version_diff",
     """
     SELECT id, status FROM (
