@@ -29,7 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from zzzarchived_arxiv_fulltext_spark.config import build_spark
 from zzzarchived_arxiv_fulltext_spark.operators.span_extract import extract_documents
-from zzzarchived_arxiv_fulltext_spark.queries import QUERIES
+from zzzarchived_arxiv_fulltext_spark.queries import QUERIES, REGISTRATION_ORDER
 from zzzarchived_arxiv_fulltext_spark.sources.fixtures import (
     DEFAULT_SEED,
     write_spans_parquet,
@@ -187,8 +187,17 @@ def _load_baseline() -> tuple:
         side = here / "BENCH" / "QUERIES_LAST.json"
         try:
             full = json.loads(side.read_text())
-            if isinstance(full.get("queries"), dict):
+            # the side file is overwritten by every canonical run;
+            # splicing is only sound when it came from the SAME run as
+            # the compact record (matching run_id, or neither stamped —
+            # pre-run_id records keep the old permissive behavior)
+            same_run = full.get("run_id") == doc.get("run_id")
+            if isinstance(full.get("queries"), dict) and same_run:
                 doc = dict(doc, queries=full["queries"])
+            elif isinstance(full.get("queries"), dict) and not same_run:
+                # mismatched side file: fall back to the compact map
+                # only (a partial diff beats a skewed one)
+                pass
         except (OSError, json.JSONDecodeError):
             pass
     return doc, prev_path
@@ -277,9 +286,24 @@ def main():
     # settle the JVM before the per-query section
     spark.sparkContext._jvm.System.gc()
 
-    # -- per-query timings on the driver tables
+    # -- per-query timings on the driver tables. FIXED registration
+    # order, decoupled from the driver-check staleness rotation that
+    # reorders QUERIES each round — with rotation order, a different
+    # battery head eats the worker cold start every round and shows up
+    # as a phantom regression (VERDICT r5 #1). The first query is run
+    # once UNTIMED to absorb any residual python-worker/JIT cold start
+    # left after the System.gc() above.
+    battery = [(n, QUERIES[n]) for n in REGISTRATION_ORDER if n in QUERIES]
+    battery += [(n, f) for n, f in QUERIES.items()
+                if n not in set(REGISTRATION_ORDER)]
+    if battery:
+        try:
+            battery[0][1](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+        except Exception:
+            pass
     query_secs = {}
-    for name, fn in QUERIES.items():
+    for name, fn in battery:
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -290,8 +314,10 @@ def main():
     regressions, baseline_path = find_regressions(
         query_secs, calibration,
         config={"sf": sf, "cpus": cpus, "bench_docs": n_docs})
+    run_id = time.strftime("%Y%m%dT%H%M%S")
     record = {
         "metric": "documents_per_sec_extraction",
+        "run_id": run_id,
         "value": round(docs_per_sec, 2),
         "unit": "docs/sec",
         "queries": query_secs,
@@ -322,11 +348,15 @@ def main():
         # smoke run at sf0.01/4 cores overwriting BENCH_LAST.json would
         # poison every later regression diff
         if is_canonical:
+            # both files carry the same run_id; _load_baseline refuses
+            # to splice a side file whose run_id doesn't match the
+            # compact record it picked (ADVICE r5: an old-round compact
+            # record paired with a newer side file skews the diff)
             (here / BENCH_LAST).write_text(
                 json.dumps(record, indent=1) + "\n")
             (here / "BENCH" / "QUERIES_LAST.json").write_text(
                 json.dumps({k: record[k] for k in (
-                    "queries", "sf", "cpus", "calibration_sec",
+                    "run_id", "queries", "sf", "cpus", "calibration_sec",
                     "regressions_vs_prev_round", "regression_baseline")},
                     indent=1) + "\n")
     except OSError:
@@ -343,7 +373,13 @@ def main():
         "minhash_lsh_pairs", "bm25_topk_search",
     ]
     numeric = [v for v in query_secs.values() if isinstance(v, (int, float))]
-    errors = {k: v for k, v in query_secs.items() if not isinstance(v, (int, float))}
+    # error strings can be whole Spark tracebacks; keep the stdout line
+    # bounded (first 5 errors, 160 chars each — full text in BENCH_LAST)
+    errors = {k: str(v)[:160] for k, v in list(query_secs.items())[:1000]
+              if not isinstance(v, (int, float))}
+    if len(errors) > 5:
+        errors = dict(list(errors.items())[:5])
+        errors["..."] = "see BENCH_LAST.json"
     compact = dict(record)
     compact["queries"] = {k: query_secs[k] for k in headline_queries
                           if k in query_secs}
@@ -353,6 +389,17 @@ def main():
         "errors": errors,
         "full_map": "BENCH/QUERIES_LAST.json",
     }
+    # inline regression map capped to the top 5 by slowdown ratio — r5's
+    # 21-entry map blew the stdout line past the driver's tail-capture
+    # window ("parsed": null) exactly when the map mattered; the full
+    # map stays in BENCH_LAST.json / BENCH/QUERIES_LAST.json
+    if len(regressions) > 5:
+        top = sorted(
+            regressions.items(),
+            key=lambda kv: kv[1]["now"] / max(kv[1]["prev_adjusted"], 1e-9),
+            reverse=True)[:5]
+        compact["regressions_vs_prev_round"] = dict(top)
+        compact["regressions_total"] = len(regressions)
     print(json.dumps(compact))
 
 

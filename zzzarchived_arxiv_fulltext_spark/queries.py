@@ -4337,6 +4337,14 @@ def _driver_staleness_order() -> list:
     return sorted(QUERIES, key=key)
 
 
+#: Immutable registration order, captured BEFORE the driver staleness
+#: rotation below reorders ``QUERIES``. bench.py times the battery in
+#: this order so per-query times are comparable round-over-round —
+#: otherwise each round a different battery head eats the JVM/worker
+#: cold start and shows up as a phantom regression (VERDICT r5 #1).
+REGISTRATION_ORDER = tuple(QUERIES)
+
+
 def _schedule_for_driver() -> None:
     for n in _driver_staleness_order():
         QUERIES[n] = QUERIES.pop(n)
