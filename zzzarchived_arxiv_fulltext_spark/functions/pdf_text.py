@@ -181,9 +181,10 @@ def is_encrypted(pdf: bytes) -> bool:
     class decrypts via ``pdf_crypt.decrypt_pdf`` (wired into
     ``extract_pdf_page_texts`` and ``pdf_to_spans``, matching the
     reference's implicit poppler behavior at
-    ``extractor/fulltext/fulltext.py:81-109``); for AES or real
-    passwords, detection is the contract and callers classify the
-    document as ``failure_class='encrypted'``. /Encrypt lives in the
+    ``extractor/fulltext/fulltext.py:81-109``); AES variants
+    (/AESV2, /AESV3 R5/R6) decrypt there too; for real passwords,
+    detection is the contract and callers classify the document as
+    ``failure_class='encrypted'``. /Encrypt lives in the
     trailer dict (classic xref) or an xref-stream dict; to avoid
     false positives on page TEXT containing the token, scope the scan
     to the region after the last ``trailer`` keyword when one exists
@@ -679,7 +680,7 @@ def extract_pdf_page_texts(pdf: bytes) -> List[str]:
     """
     if is_encrypted(pdf):
         # password-less RC4 files decrypt in place (offset-preserving);
-        # AES / real passwords return None and stay 'encrypted'
+        # real passwords return None and stay 'encrypted'
         from .pdf_crypt import decrypt_pdf
 
         dec = decrypt_pdf(pdf)
