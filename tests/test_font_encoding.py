@@ -1,0 +1,151 @@
+"""Simple-font /Encoding /Differences decoding (VERDICT r5 #3).
+
+A Type1/TrueType font with a custom /Differences array and no
+/ToUnicode CMap shows text as arbitrary byte codes; pdfminer (the
+reference's engine, ``extractor/fulltext/fulltext.py:50-78``) resolves
+them through the standard encoding tables + Adobe Glyph List. These
+tests pin the stdlib parser's restoration of that behavior.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from zzzarchived_arxiv_fulltext_spark.functions.pdf_text import (
+    _glyph_to_unicode,
+    extract_pdf_page_texts,
+    make_simple_pdf,
+    parse_font_encodings,
+)
+
+
+def build_pdf(content: bytes, *fontbodies: bytes,
+              binds: str = None) -> bytes:
+    """Minimal one-page PDF with the given font objects bound as
+    /F1../Fn (or per ``binds``) and one literal content stream."""
+    objs = []
+
+    def add(b):
+        objs.append(b)
+        return len(objs)
+
+    font_ids = [add(fb) for fb in fontbodies]
+    cont = add(b"<< /Length %d >>\nstream\n%s\nendstream"
+               % (len(content), content))
+    names = (binds.split() if binds
+             else ["F%d" % (i + 1) for i in range(len(font_ids))])
+    fdict = b" ".join(b"/%s %d 0 R" % (n.encode(), fid)
+                      for n, fid in zip(names, font_ids))
+    page = add(b"<< /Type /Page /Parent 99 0 R /MediaBox [0 0 612 792] "
+               b"/Resources << /Font << %s >> >> /Contents %d 0 R >>"
+               % (fdict, cont))
+    pages = add(b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page)
+    cat = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages)
+    out = bytearray(b"%PDF-1.4\n")
+    for num, body in enumerate(objs, start=1):
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    out += b"trailer\n<< /Root %d 0 R >>\n%%%%EOF\n" % cat
+    return bytes(out)
+
+
+DIFF_FONT = (b"<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+Custom "
+             b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+             b"/Differences [ 65 /alpha /beta 97 /uni0393 /gamma "
+             b"200 /fi ] >> >>")
+
+
+def test_differences_and_base_encoding_decode():
+    content = b"BT /F1 12 Tf 72 720 Td (AB ab \310 \223q\224) Tj ET"
+    pdf = build_pdf(content, DIFF_FONT)
+    # A/B remapped to Greek, a/b via uniXXXX + AGL name, 200 -> fi
+    # ligature, 0x93/0x94 via the WinAnsi base encoding
+    assert extract_pdf_page_texts(pdf) == ["αβ Γγ ﬁ “q”"]
+
+
+def test_font_without_encoding_keeps_latin1():
+    plain_font = (b"<< /Type /Font /Subtype /Type1 "
+                  b"/BaseFont /Helvetica >>")
+    content = b"BT /F1 12 Tf 72 720 Td (AB ab) Tj ET"
+    assert extract_pdf_page_texts(build_pdf(content, plain_font)) \
+        == ["AB ab"]
+
+
+def test_tf_switches_between_fonts_mid_stream():
+    plain_font = (b"<< /Type /Font /Subtype /Type1 "
+                  b"/BaseFont /Helvetica >>")
+    content = (b"BT /F1 12 Tf 72 720 Td (AB) Tj "
+               b"/F2 12 Tf ( AB) Tj ET")
+    pdf = build_pdf(content, DIFF_FONT, plain_font)
+    assert extract_pdf_page_texts(pdf) == ["αβ AB"]
+
+
+def test_indirect_encoding_dict_resolves():
+    enc_obj = (b"<< /Type /Encoding "
+               b"/Differences [ 65 /emdash /bullet ] >>")
+    content = b"BT /F1 12 Tf 72 720 Td (AB) Tj ET"
+    # font references the encoding indirectly (object 6 appended last)
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /X "
+            b"/Encoding 6 0 R >>")
+    pdf = build_pdf(content, font) + \
+        b"6 0 obj\n" + enc_obj + b"\nendobj\n"
+    assert extract_pdf_page_texts(pdf) == ["—•"]
+
+
+def test_macroman_base_encoding():
+    font = (b"<< /Type /Font /Subtype /TrueType /BaseFont /X "
+            b"/Encoding /MacRomanEncoding >>")
+    content = b"BT /F1 12 Tf 72 720 Td (caf\x8e) Tj ET"  # 0x8E = e-acute
+    assert extract_pdf_page_texts(build_pdf(content, font)) == ["café"]
+
+
+def test_unknown_glyph_names_fall_back_per_byte():
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /X "
+            b"/Encoding << /Differences [ 65 /g123 /beta ] >> >>")
+    content = b"BT /F1 12 Tf 72 720 Td (ABC) Tj ET"
+    # A keeps latin-1 (unknown subset glyph), B remapped, C untouched
+    assert extract_pdf_page_texts(build_pdf(content, font)) == ["AβC"]
+
+
+def test_tounicode_cmap_still_wins_for_hex_strings():
+    # a hex show-string with a full CMap decodes through the CMap even
+    # when the font also carries a Differences map
+    cmap_stream = (b"<< /Length 120 >>\nstream\n"
+                   b"beginbfchar\n<0041> <0058>\n<0042> <0059>\n"
+                   b"endbfchar\nendstream")
+    content = b"BT /F1 12 Tf 72 720 Td <00410042> Tj ET"
+    pdf = build_pdf(content, DIFF_FONT) + \
+        b"7 0 obj\n" + cmap_stream + b"\nendobj\n"
+    assert extract_pdf_page_texts(pdf) == ["XY"]
+
+
+def test_glyph_name_rules():
+    assert _glyph_to_unicode("aacute") == "á"
+    assert _glyph_to_unicode("Omega") == "Ω"
+    assert _glyph_to_unicode("uni20AC") == "€"
+    assert _glyph_to_unicode("uni00480049") == "HI"
+    assert _glyph_to_unicode("u1F600") == "😀"
+    assert _glyph_to_unicode("a.smcp") == "a"
+    assert _glyph_to_unicode("g123") is None
+    assert _glyph_to_unicode("A") == "A"
+
+
+def test_simple_pdfs_unaffected():
+    pages = [["Hello world.", "Second line."], ["Page two."]]
+    pdf = make_simple_pdf(pages)
+    assert extract_pdf_page_texts(pdf) == \
+        ["Hello world.\nSecond line.", "Page two."]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=600))
+def test_parse_font_encodings_junk_safe(junk):
+    parse_font_encodings(b"%PDF-1.4" + junk)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=300))
+def test_differences_junk_safe(junk):
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /X "
+            b"/Encoding << /Differences [" + junk + b"] >> >>")
+    pdf = build_pdf(b"BT /F1 12 Tf 72 720 Td (AB) Tj ET", font)
+    parse_font_encodings(pdf)
+    extract_pdf_page_texts(pdf)

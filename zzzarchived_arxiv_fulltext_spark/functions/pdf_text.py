@@ -392,7 +392,260 @@ class _HexStr(bytes):
     syntax glyph-ID strings use), so it is eligible for CMap decode."""
 
 
-def _decode_shown(b: bytes, cmap: Optional[dict]) -> str:
+# --------------------------------------------------------------------------
+# Simple-font /Encoding: a Type1/TrueType font with a custom
+# /Differences array (and no /ToUnicode CMap) shows text as arbitrary
+# byte codes; without the glyph-name → unicode mapping those bytes
+# garble under the latin-1 fallback. pdfminer (the reference's engine,
+# ``extractor/fulltext/fulltext.py:50-78``) carries the standard
+# encoding + Adobe Glyph List tables; this section restores that
+# coverage: WinAnsi/MacRoman base encodings via the stdlib codecs, a
+# generated AGL subset for glyph names, and per-font byte→char maps
+# bound to content streams through the /Resources /Font name + Tf.
+# --------------------------------------------------------------------------
+
+
+def _build_glyph_table() -> dict:
+    """AGL subset: punctuation/symbol names explicitly; accented Latin,
+    Greek, and ligatures generated from unicodedata so the table stays
+    reviewable instead of a 4000-line paste."""
+    import unicodedata as _ud
+
+    t = {
+        "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+        "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+        "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+        "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+        "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+        "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+        "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+        "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+        "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+        "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+        "braceright": "}", "asciitilde": "~",
+        "exclamdown": "¡", "cent": "¢", "sterling": "£",
+        "currency": "¤", "yen": "¥", "brokenbar": "¦",
+        "section": "§", "dieresis": "¨", "copyright": "©",
+        "ordfeminine": "ª", "guillemotleft": "«",
+        "logicalnot": "¬", "registered": "®", "macron": "¯",
+        "degree": "°", "plusminus": "±", "acute": "´",
+        "mu": "µ", "paragraph": "¶", "periodcentered": "·",
+        "cedilla": "¸", "ordmasculine": "º",
+        "guillemotright": "»", "onequarter": "¼",
+        "onehalf": "½", "threequarters": "¾",
+        "questiondown": "¿", "multiply": "×",
+        "divide": "÷", "germandbls": "ß", "eth": "ð",
+        "Eth": "Ð", "thorn": "þ", "Thorn": "Þ",
+        "quoteleft": "‘", "quoteright": "’",
+        "quotedblleft": "“", "quotedblright": "”",
+        "quotesinglbase": "‚", "quotedblbase": "„",
+        "dagger": "†", "daggerdbl": "‡", "bullet": "•",
+        "ellipsis": "…", "perthousand": "‰",
+        "guilsinglleft": "‹", "guilsinglright": "›",
+        "fraction": "⁄", "endash": "–", "emdash": "—",
+        "trademark": "™", "Euro": "€", "florin": "ƒ",
+        "minus": "−", "lessequal": "≤",
+        "greaterequal": "≥", "notequal": "≠",
+        "approxequal": "≈", "infinity": "∞",
+        "partialdiff": "∂", "summation": "∑",
+        "product": "∏", "integral": "∫", "radical": "√",
+        "proportional": "∝", "element": "∈",
+        "gradient": "∇", "arrowleft": "←", "arrowup": "↑",
+        "arrowright": "→", "arrowdown": "↓",
+        "arrowboth": "↔", "circlemultiply": "⊗",
+        "circleplus": "⊕", "dotlessi": "ı",
+        "circumflex": "ˆ", "caron": "ˇ", "breve": "˘",
+        "dotaccent": "˙", "ring": "˚", "ogonek": "˛",
+        "tilde": "˜", "hungarumlaut": "˝",
+        "fi": "ﬁ", "fl": "ﬂ", "ff": "ﬀ",
+        "ffi": "ﬃ", "ffl": "ﬄ",
+        "AE": "Æ", "ae": "æ", "OE": "Œ", "oe": "œ",
+        "Oslash": "Ø", "oslash": "ø",
+        "Lslash": "Ł", "lslash": "ł",
+    }
+    accents = {
+        "acute": "ACUTE", "grave": "GRAVE", "circumflex": "CIRCUMFLEX",
+        "tilde": "TILDE", "dieresis": "DIAERESIS", "ring": "RING ABOVE",
+        "cedilla": "CEDILLA", "macron": "MACRON", "breve": "BREVE",
+        "caron": "CARON",
+    }
+    for letter in "abcdefghijklmnopqrstuvwxyz":
+        for suffix, uname in accents.items():
+            for case, lt in (("SMALL", letter), ("CAPITAL", letter.upper())):
+                try:
+                    t[lt + suffix] = _ud.lookup(
+                        "LATIN %s LETTER %s WITH %s"
+                        % (case, letter.upper(), uname))
+                except KeyError:
+                    pass
+    greek = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+             "psi omega").split()
+    for g in greek:
+        for case, name in (("SMALL", g), ("CAPITAL", g.capitalize())):
+            try:
+                ch = _ud.lookup("GREEK %s LETTER %s" % (case, g.upper()))
+            except KeyError:
+                continue
+            # AGL maps /mu to MICRO SIGN above; Greek capital stays
+            t.setdefault(name, ch)
+    t["sigma1"] = "ς"  # final sigma
+    return t
+
+
+_GLYPH_TABLE = _build_glyph_table()
+
+
+def _glyph_to_unicode(name: str) -> Optional[str]:
+    """Glyph name → text per the Adobe Glyph List rules: table lookup,
+    single-character names as themselves, ``uniXXXX`` (one or more
+    4-hex groups) and ``uXXXX[XX]``; suffixed variants (``a.smcp``)
+    strip the suffix and retry. None = unknown (caller falls back)."""
+    if name in _GLYPH_TABLE:
+        return _GLYPH_TABLE[name]
+    if len(name) == 1 and " " <= name <= "ÿ":
+        return name
+    if name.startswith("uni") and len(name) >= 7 \
+            and (len(name) - 3) % 4 == 0:
+        try:
+            return "".join(chr(int(name[i:i + 4], 16))
+                           for i in range(3, len(name), 4))
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            cp = int(name[1:], 16)
+            return chr(cp) if cp <= 0x10FFFF else None
+        except ValueError:
+            return None
+    if "." in name:
+        return _glyph_to_unicode(name.split(".", 1)[0])
+    return None
+
+
+def _base_encoding_map(name: bytes) -> dict:
+    """byte → char for the named base encoding, high range only (the
+    printable ASCII range agrees with latin-1 in all of them)."""
+    codec = {b"WinAnsiEncoding": "cp1252",
+             b"MacRomanEncoding": "mac_roman"}.get(name)
+    if not codec:
+        return {}
+    out = {}
+    for b in range(128, 256):
+        try:
+            out[b] = bytes([b]).decode(codec)
+        except UnicodeDecodeError:
+            pass
+    return out
+
+
+def _parse_differences(arr: bytes) -> dict:
+    """/Differences array → {code: char}: integers set the next code,
+    names assign consecutive codes. Unknown glyph names are skipped
+    (their bytes keep the latin-1 fallback)."""
+    out = {}
+    code = 0
+    for tok in re.finditer(rb"(\d+)|/([^\s/\[\]()<>{}%]+)", arr):
+        if tok.group(1):
+            code = int(tok.group(1))
+        else:
+            ch = _glyph_to_unicode(tok.group(2).decode("latin-1",
+                                                       "replace"))
+            if ch is not None:
+                out[code] = ch
+            code += 1
+    return out
+
+
+def _balanced_dict_slice(data: bytes, start: int) -> bytes:
+    """``data[start:]`` must begin at ``<<``; returns the balanced
+    dict body including delimiters."""
+    depth, i = 0, start
+    n = len(data)
+    while i < n:
+        two = data[i:i + 2]
+        if two == b"<<":
+            depth, i = depth + 1, i + 2
+        elif two == b">>":
+            depth, i = depth - 1, i + 2
+            if depth == 0:
+                return data[start:i]
+        else:
+            i += 1
+    return data[start:]
+
+
+_FONT_RES_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONT_BIND_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+(\d+)\s+R")
+_DIFF_ARRAY_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
+
+
+def _font_object_slice(pdf: bytes, num: int, gen: int) -> Optional[bytes]:
+    m = re.search(rb"(?<![0-9])%d\s+%d\s+obj\b" % (num, gen), pdf)
+    if not m:
+        return None
+    end = pdf.find(b"endobj", m.end())
+    return pdf[m.end():end if end >= 0 else len(pdf)]
+
+
+def _encoding_map_for_font(pdf: bytes, body: bytes) -> Optional[dict]:
+    """byte→char map from a simple font object's /Encoding entry —
+    None when the font has no explicit encoding (or is composite)."""
+    if re.search(rb"/Subtype\s*/Type0\b", body):
+        return None  # composite font: /Encoding is a CMap name
+    em = re.search(rb"/Encoding\s*(/(\w+)|(\d+)\s+(\d+)\s+R|<<)", body)
+    if not em:
+        return None
+    if em.group(2):  # bare base-encoding name
+        return _base_encoding_map(em.group(2)) or None
+    if em.group(3):  # indirect encoding dict
+        enc_body = _font_object_slice(pdf, int(em.group(3)),
+                                      int(em.group(4)))
+        if enc_body is None:
+            return None
+    else:  # inline dict
+        enc_body = _balanced_dict_slice(body, em.start(1))
+    base = re.search(rb"/BaseEncoding\s*/(\w+)", enc_body)
+    out = _base_encoding_map(base.group(1) if base else b"")
+    dm = _DIFF_ARRAY_RE.search(enc_body)
+    if dm:
+        out.update(_parse_differences(dm.group(1)))
+    return out or None
+
+
+def parse_font_encodings(pdf: bytes) -> dict:
+    """{font resource name: {code: char}} for every simple font bound
+    in a /Resources /Font dict with an explicit /Encoding.
+
+    Name collisions across pages merge (last binding wins) — same
+    documented heuristic as the merged ToUnicode map: correct for the
+    overwhelmingly common case, never worse than the latin-1 fallback.
+    """
+    fonts: dict = {}
+    try:
+        for rm in _FONT_RES_RE.finditer(pdf):
+            for bind in _FONT_BIND_RE.finditer(rm.group(1)):
+                body = _font_object_slice(pdf, int(bind.group(2)),
+                                          int(bind.group(3)))
+                if body is None or not re.search(
+                        rb"/Type\s*/Font\b", body):
+                    continue
+                enc = _encoding_map_for_font(pdf, body)
+                if enc:
+                    name = bind.group(1).decode("latin-1", "replace")
+                    fonts[name] = enc
+    except Exception:
+        return fonts
+    return fonts
+
+
+class _Name(str):
+    """Marker: a ``/name`` token on the operand stack (only consumed
+    by Tf; show() ignores it since it is not bytes)."""
+
+
+def _decode_shown(b: bytes, cmap: Optional[dict],
+                  enc: Optional[dict] = None) -> str:
     if cmap and isinstance(b, _HexStr) and b:
         for nb in (2, 1):
             if len(b) % nb:
@@ -406,6 +659,10 @@ def _decode_shown(b: bytes, cmap: Optional[dict]) -> str:
             return b[2:].decode("utf-16-be")
         except UnicodeDecodeError:
             pass
+    if enc:
+        # simple-font byte codes through the /Encoding /Differences
+        # map; unmapped codes keep the latin-1 fallback per byte
+        return "".join(enc.get(x) or chr(x) for x in b)
     return b.decode("latin-1")
 
 
@@ -462,7 +719,8 @@ _NUMBER_RE = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)")
 _OPERATOR_RE = re.compile(rb"[A-Za-z'\"*]+")
 
 
-def _stream_lines(data: bytes, cmap: Optional[dict] = None) -> List[str]:
+def _stream_lines(data: bytes, cmap: Optional[dict] = None,
+                  fontmaps: Optional[dict] = None) -> List[str]:
     """Run the text-op machine over one content stream → shown lines.
 
     Layout-aware: text-line positions are tracked through Td/TD/Tm/T*
@@ -480,6 +738,7 @@ def _stream_lines(data: bytes, cmap: Optional[dict] = None) -> List[str]:
     in_array: Optional[List[object]] = None
     pos: List[Optional[float]] = [None, None]  # current line x, y
     leading = [0.0]
+    cur_enc: List[Optional[dict]] = [None]  # active font's byte map
 
     def flush_line() -> None:
         text = "".join(cur).strip()
@@ -498,7 +757,7 @@ def _stream_lines(data: bytes, cmap: Optional[dict] = None) -> List[str]:
         buf = []
         for p in parts:
             if isinstance(p, bytes):
-                buf.append(_decode_shown(p, cmap))
+                buf.append(_decode_shown(p, cmap, cur_enc[0]))
             elif isinstance(p, float) and p <= _TJ_SPACE_GAP:
                 buf.append(" ")
         cur.append("".join(buf))
@@ -531,8 +790,12 @@ def _stream_lines(data: bytes, cmap: Optional[dict] = None) -> List[str]:
             operands.append(in_array or [])
             in_array = None
             i += 1
-        elif c == b"/":  # name object
-            m = re.match(rb"/[^\s()<>\[\]/%]*", data[i:])
+        elif c == b"/":  # name object — kept on the stack for Tf
+            m = re.match(rb"/([^\s()<>\[\]/%]*)", data[i:])
+            if m:
+                name = _Name(m.group(1).decode("latin-1", "replace"))
+                (in_array if in_array is not None else
+                 operands).append(name)
             i += m.end() if m else 1
         elif c == b"%":  # comment to EOL
             j = data.find(b"\n", i)
@@ -581,6 +844,10 @@ def _stream_lines(data: bytes, cmap: Optional[dict] = None) -> List[str]:
             elif op == b"TL":
                 if operands and isinstance(operands[-1], float):
                     leading[0] = operands[-1]
+            elif op == b"Tf":
+                if fontmaps and len(operands) >= 2 \
+                        and isinstance(operands[-2], _Name):
+                    cur_enc[0] = fontmaps.get(str(operands[-2]))
             elif op == b"T*":
                 move(0.0, -leading[0])
             elif op == b"Tm":
@@ -687,11 +954,12 @@ def extract_pdf_page_texts(pdf: bytes) -> List[str]:
         if dec is not None:
             pdf = dec
     cmap = parse_tounicode_cmaps(pdf)
+    fontmaps = parse_font_encodings(pdf)
     pages = []
     for stream in iter_streams(pdf):
         if b"beginbfchar" in stream or b"beginbfrange" in stream:
             continue  # a CMap, not page content
-        lines = _stream_lines(stream, cmap or None)
+        lines = _stream_lines(stream, cmap or None, fontmaps or None)
         if lines:
             pages.append("\n".join(lines))
     return pages
