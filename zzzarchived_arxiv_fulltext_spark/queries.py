@@ -4273,6 +4273,64 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "registrable_domain_keying",
+    """
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             CASE doc_id % 5
+               WHEN 0 THEN 'shop' || (doc_id % 4)::VARCHAR || '.co.uk'
+               WHEN 1 THEN 'www.news' || (doc_id % 4)::VARCHAR || '.com.au'
+               WHEN 2 THEN 'docs' || (doc_id % 4)::VARCHAR || '.github.io'
+               WHEN 3 THEN 'cdn.assets' || (doc_id % 4)::VARCHAR
+                           || '.s3.amazonaws.com'
+               ELSE 'www.plain' || (doc_id % 4)::VARCHAR || '.com'
+             END AS host,
+             CASE doc_id % 5
+               WHEN 0 THEN 'shop' || (doc_id % 4)::VARCHAR || '.co.uk'
+               WHEN 1 THEN 'news' || (doc_id % 4)::VARCHAR || '.com.au'
+               WHEN 2 THEN 'docs' || (doc_id % 4)::VARCHAR || '.github.io'
+               WHEN 3 THEN 'assets' || (doc_id % 4)::VARCHAR
+                           || '.s3.amazonaws.com'
+               ELSE 'plain' || (doc_id % 4)::VARCHAR || '.com'
+             END AS domain
+      FROM documents
+    )
+    SELECT domain,
+           count(*) AS n_docs,
+           count(DISTINCT host) AS n_hosts,
+           round(avg(1.0), 6) AS avg_path_depth,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM u GROUP BY domain ORDER BY domain
+    """,
+)
+def q_registrable_domain_keying(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-suffix-aware domain keying (VERDICT r5 #4): hosts under
+    multi-label registries (`co.uk`, `com.au`), hosted platforms from
+    the PSL private section (`github.io`), and a three-label suffix
+    (`s3.amazonaws.com`) must each key by registrar-level site — the
+    naive last-two-labels rule would collapse every `*.co.uk` site
+    into one 'co.uk' domain. Spark runs the real regexp parser + InSet
+    suffix lookup; the oracle states the registrable domain in closed
+    form per planted host class."""
+    from .operators.weblinks import domain_stats
+
+    host = F.concat(
+        F.element_at(
+            F.array(F.lit("shop"), F.lit("www.news"), F.lit("docs"),
+                    F.lit("cdn.assets"), F.lit("www.plain")),
+            (F.col("doc_id") % 5 + 1).cast("int")),
+        (F.col("doc_id") % 4).cast("string"),
+        F.element_at(
+            F.array(F.lit(".co.uk"), F.lit(".com.au"), F.lit(".github.io"),
+                    F.lit(".s3.amazonaws.com"), F.lit(".com")),
+            (F.col("doc_id") % 5 + 1).cast("int")),
+    )
+    wu = _docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("https://"), host, F.lit("/page")))
+    return domain_stats(wu).orderBy("domain")
+
+
 # --------------------------------------------------------------------------
 # Driver-evidence scheduling.
 #
