@@ -2136,13 +2136,28 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of re-running Lloyd passes. Results are identical either
     # way (training is deterministic), so the oracle is unchanged.
     import hashlib
+    import os
 
     from .plans.ivf_index import ivf_topk_indexed
     from .sources.tables import SnapshotTable
 
     corpus, queries = _planted_ann_inputs(spark, sf_dir)
-    cache = ("/tmp/spark_graft_ivf_cache/"
-             + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    # Cache key = content fingerprint of the embeddings parquet dir
+    # (names+sizes+mtimes — regenerated testdata at the same path gets
+    # a FRESH key, never stale centroids) + pid (no cross-process
+    # manifest races on SnapshotTable's unlocked read-modify-write),
+    # under the per-user warehouse dir (not world-shared /tmp). Within
+    # one process the train-once/serve-many reuse still holds.
+    emb_dir = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        stat = sorted((e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                      for e in os.scandir(emb_dir))
+    except OSError:
+        stat = []
+    fp = hashlib.md5(repr((sf_dir, stat)).encode()).hexdigest()[:12]
+    cache = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        "ivf_cache", "%s_%d" % (fp, os.getpid()))
     return ivf_topk_indexed(
         spark, corpus, queries, SnapshotTable(cache), k=3, n_probes=3,
         n_centroids=8, iterations=2, sample_fraction=0.5)
