@@ -1,0 +1,370 @@
+"""Split from the original single-module battery (VERDICT r5 #7).
+
+Imported by ``queries/__init__`` in registration order; every query
+registers into the shared ``QUERIES``/``ORACLES`` dicts at import.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ._registry import ORACLES, QUERIES, _docs, _events, _register
+from .q_textpipe import _pair_corpus  # noqa: E402
+from .q_textpipe import _SHINGLE_SQL  # noqa: E402
+
+__all__ = ["QUERIES", "ORACLES"]
+
+# --------------------------------------------------------------------------
+# MinHash LSH candidate pairs (engine-portable hash family)
+# --------------------------------------------------------------------------
+
+_MH_HASHES = 8
+_MH_BANDS = 4
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"min(md5('{s}|' || shingle)) AS h{s}" for s in range(_MH_HASHES)
+    )
+    rows_per_band = _MH_HASHES // _MH_BANDS
+    band_rows = []
+    for b in range(_MH_BANDS):
+        cols = " || '|' || ".join(
+            f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_rows.append(f"SELECT id, {b} AS band, md5({cols}) AS bucket FROM sig")
+    buckets = " UNION ALL ".join(band_rows)
+    return _SHINGLE_SQL + f""",
+    sig AS (SELECT doc_id AS id, {mins} FROM sh GROUP BY doc_id),
+    buckets AS ({buckets})
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ORDER BY id_a, id_b
+    """
+
+
+@_register("minhash_lsh_pairs", _minhash_sql())
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, word_shingles
+
+    docs = _pair_corpus(spark, sf_dir)
+    sigs = minhash_signatures(word_shingles(docs, n=3), num_hashes=_MH_HASHES)
+    return lsh_candidate_pairs(
+        sigs, bands=_MH_BANDS, rows_per_band=_MH_HASHES // _MH_BANDS
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (16-bit, engine-portable md5 bit extraction)
+# --------------------------------------------------------------------------
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    sums = ", ".join(
+        "sum(2 * ((strpos('0123456789abcdef', substr(md5(w), "
+        f"{b // 4 + 1}, 1)) - 1 >> {3 - b % 4}) & 1) - 1) AS s{b}"
+        for b in range(bits)
+    )
+    value = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    sums AS (SELECT id, {sums} FROM toks GROUP BY id)
+    SELECT id, CAST({value} AS BIGINT) AS simhash FROM sums ORDER BY id
+    """
+
+
+@_register("simhash_16", _simhash_sql())
+def q_simhash_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k over embeddings
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT qid, nid,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))), 6) AS cos
+      FROM q, c WHERE qid <> nid
+    ),
+    ranked AS (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid) AS rank
+      FROM scored
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, cos, rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(emb, emb.where("vec_id < 3"), k=5)
+
+
+@_register(
+    "embedding_quantization",
+    """
+    WITH d AS (
+      SELECT vec_id, i, embedding[i]::DOUBLE AS v
+      FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+    ),
+    s AS (
+      SELECT i, greatest(max(abs(v)), 1e-12) / 127.0 AS scale
+      FROM d GROUP BY i
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             greatest(least(round(v / scale, 0), 127.0), -127.0) AS qv
+      FROM d JOIN s USING (i)
+    )
+    SELECT vec_id, max(abs(qv))::INT AS max_abs_q,
+           round(sqrt(sum((v - qv * scale) * (v - qv * scale)) / 64), 9)
+             AS rmse
+    FROM q GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding
+    corpus (4x ANN memory shrink) with per-vector reconstruction
+    RMSE; the oracle replays scale fitting + clamped rounding in SQL.
+    Driver output is the scalar-safe summary (arrays stay internal)."""
+    from ..operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        F.array_max(F.transform("qvec", lambda x: F.abs(x)))
+        .alias("max_abs_q"),
+        "rmse",
+    ).orderBy("vec_id")
+
+
+@_register(
+    "bpe_merge_training",
+    """
+    WITH m AS (SELECT sum(doc_id % 3 + 2)::BIGINT AS c FROM documents)
+    SELECT v.rnd::INT AS round, v.l AS "left", v.r AS "right",
+           (SELECT c FROM m) AS pair_count
+    FROM (VALUES (1, 'p', 'q'), (2, 'pq', 'r'), (3, 'pqr', 's'))
+         AS v(rnd, l, r)
+    ORDER BY round
+    """,
+)
+def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge training on a planted closed form: every
+    doc is 'p q r s' repeated (doc_id % 3 + 2) times, so the learned
+    merges are provably (p,q) then (pq,r) then (pqr,s), each with
+    pair count = sum over docs of the repeat factor, with the
+    lexicographic tie-break exercised in every round."""
+    from ..operators.corpus_stats import bpe_train_merges
+
+    reps = (F.col("doc_id") % 3 + 2).cast("int")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(F.array_repeat(F.lit("p q r s"), reps), " ")
+        .alias("text"))
+    return bpe_train_merges(docs, n_merges=3)
+
+
+@_register(
+    "script_profile_triage",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             text || repeat('ж', doc_id % 4) || repeat('中', doc_id % 3)
+               AS text
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, length(text) AS n_chars,
+        length(regexp_extract_all(text, '\p{Latin}'))::INT AS n_latin,
+        length(regexp_extract_all(text, '\p{Cyrillic}'))::INT AS n_cyrillic,
+        length(regexp_extract_all(text, '\p{Han}'))::INT AS n_han,
+        length(regexp_extract_all(text, '\p{Arabic}'))::INT AS n_arabic,
+        length(regexp_extract_all(text, '\p{Devanagari}'))::INT
+          AS n_devanagari,
+        length(regexp_extract_all(text, '\p{Greek}'))::INT AS n_greek,
+        length(regexp_extract_all(text, '\p{Hangul}'))::INT AS n_hangul,
+        length(regexp_extract_all(text, '\p{Hiragana}'))::INT AS n_hiragana,
+        length(regexp_extract_all(text, '\p{Katakana}'))::INT AS n_katakana
+      FROM d
+    )
+    SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_devanagari,
+           n_greek, n_hangul, n_hiragana, n_katakana,
+           (n_chars - (n_latin + n_cyrillic + n_han + n_arabic
+                       + n_devanagari + n_greek + n_hangul + n_hiragana
+                       + n_katakana))::INT AS n_other,
+           CASE
+             WHEN greatest(n_latin, n_cyrillic, n_han, n_arabic,
+                           n_devanagari, n_greek, n_hangul, n_hiragana,
+                           n_katakana) = 0 THEN 'none'
+             WHEN n_arabic = greatest(n_latin, n_cyrillic, n_han,
+                  n_arabic, n_devanagari, n_greek, n_hangul,
+                  n_hiragana, n_katakana) THEN 'arabic'
+             WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_han,
+                  n_arabic, n_devanagari, n_greek, n_hangul,
+                  n_hiragana, n_katakana) THEN 'cyrillic'
+             WHEN n_devanagari = greatest(n_latin, n_cyrillic, n_han,
+                  n_arabic, n_devanagari, n_greek, n_hangul,
+                  n_hiragana, n_katakana) THEN 'devanagari'
+             WHEN n_greek = greatest(n_latin, n_cyrillic, n_han,
+                  n_arabic, n_devanagari, n_greek, n_hangul,
+                  n_hiragana, n_katakana) THEN 'greek'
+             WHEN n_han = greatest(n_latin, n_cyrillic, n_han,
+                  n_arabic, n_devanagari, n_greek, n_hangul,
+                  n_hiragana, n_katakana) THEN 'han'
+             WHEN n_hangul = greatest(n_latin, n_cyrillic, n_han,
+                  n_arabic, n_devanagari, n_greek, n_hangul,
+                  n_hiragana, n_katakana) THEN 'hangul'
+             WHEN n_hiragana = greatest(n_latin, n_cyrillic, n_han,
+                  n_arabic, n_devanagari, n_greek, n_hangul,
+                  n_hiragana, n_katakana) THEN 'hiragana'
+             WHEN n_katakana = greatest(n_latin, n_cyrillic, n_han,
+                  n_arabic, n_devanagari, n_greek, n_hangul,
+                  n_hiragana, n_katakana) THEN 'katakana'
+             ELSE 'latin'
+           END AS dominant_script
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_script_profile_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode writing-system composition with planted Cyrillic/Han
+    suffixes (doc_id % 4 / % 3 chars) so non-Latin counts are
+    exercised; the oracle replays the per-script regexp counts and
+    the lexicographic-smallest dominant-script tie-break in RE2."""
+    from ..operators.text_metrics import script_profile
+
+    planted = F.concat(
+        F.col("text"),
+        F.repeat(F.lit("ж"), (F.col("doc_id") % 4).cast("int")),
+        F.repeat(F.lit("中"), (F.col("doc_id") % 3).cast("int")))
+    docs = _docs(spark, sf_dir).select("doc_id", planted.alias("text"))
+    return (script_profile(docs)
+            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+
+
+@_register(
+    "license_detection",
+    """
+    SELECT doc_id,
+      (doc_id % 9 = 7) AS has_all_rights_reserved,
+      (doc_id % 9 = 5) AS has_apache_2,
+      (doc_id % 9 = 0) AS has_cc_by,
+      (doc_id % 9 = 2) AS has_cc_by_nc,
+      (doc_id % 9 = 1) AS has_cc_by_sa,
+      (doc_id % 9 = 3) AS has_cc0,
+      (doc_id % 9 = 6) AS has_gpl,
+      (doc_id % 9 = 4) AS has_mit,
+      CASE doc_id % 9
+        WHEN 0 THEN 'cc-by' WHEN 1 THEN 'cc-by-sa'
+        WHEN 2 THEN 'cc-by-nc' WHEN 3 THEN 'cc0' WHEN 4 THEN 'mit'
+        WHEN 5 THEN 'apache-2' WHEN 6 THEN 'gpl'
+        WHEN 7 THEN 'all-rights-reserved' ELSE '' END
+        AS license_summary
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_license_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License/provenance tagging on planted declarations — each
+    doc_id % 9 class carries exactly one marker phrase (including the
+    CC-BY-SA / CC-BY-NC phrases that must NOT also tag as plain
+    CC-BY), class 8 none; the oracle is the closed form."""
+    from ..operators.quality_rules import license_tags
+
+    k = F.col("doc_id") % 9
+    planted = (
+        F.when(k == 0, F.lit("Licensed under Creative Commons Attribution 4.0"))
+        .when(k == 1, F.lit("CC-BY-SA 3.0 applies to this work"))
+        .when(k == 2, F.lit("Shared under CC BY-NC terms"))
+        .when(k == 3, F.lit("Released as CC0 public domain dedication"))
+        .when(k == 4, F.lit("Distributed under the MIT license"))
+        .when(k == 5, F.lit("Apache License, Version 2.0"))
+        .when(k == 6, F.lit("GNU General Public License v3"))
+        .when(k == 7, F.lit("Copyright 2020. All rights reserved."))
+        .otherwise(F.lit("no marker text in this document")))
+    docs = _docs(spark, sf_dir).select("doc_id", planted.alias("text"))
+    return (license_tags(docs)
+            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+
+
+@_register(
+    "blocklisted_term_tagging",
+    """
+    SELECT doc_id,
+      (doc_id % 3)::INT AS n_blocklisted,
+      round((doc_id % 3) / (4.0 + (doc_id % 3)), 6) AS blocklisted_frac
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_blocklisted_term_tagging(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Wordlist tagger on planted terms: doc_id % 3 whole-word hits
+    per doc plus one 'badwording' decoy that the word boundary must
+    NOT count; closed-form oracle."""
+    from ..operators.quality_rules import flag_blocklisted_terms
+
+    k = (F.col("doc_id") % 3).cast("int")
+    planted = F.concat(
+        F.lit("clean text here"),
+        F.repeat(F.lit(" badword"), k),
+        F.lit(" badwording"))
+    docs = _docs(spark, sf_dir).select("doc_id", planted.alias("text"))
+    return (flag_blocklisted_terms(docs, ["badword", "otherbad"])
+            .withColumnRenamed("id", "doc_id")
+            .withColumn("n_blocklisted", F.col("n_blocklisted").cast("int"))
+            .orderBy("doc_id"))
+
+
+@_register(
+    "corpus_datasheet",
+    """
+    WITH t AS (
+      SELECT len(string_split(text, ' ')) AS nt, length(text) AS nc,
+             lang, source
+      FROM documents
+    )
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric, count(*)::DOUBLE AS value FROM t
+      UNION ALL SELECT 'n_tokens', sum(nt)::DOUBLE FROM t
+      UNION ALL SELECT 'mean_tokens', round(avg(nt), 6) FROM t
+      UNION ALL SELECT 'max_tokens', max(nt)::DOUBLE FROM t
+      UNION ALL SELECT 'mean_chars', round(avg(nc), 6) FROM t
+      UNION ALL SELECT 'n_langs', count(DISTINCT lang)::DOUBLE FROM t
+      UNION ALL SELECT 'n_sources', count(DISTINCT source)::DOUBLE FROM t
+      UNION ALL
+      SELECT 'lang_share:' || lang,
+             round(count(*) / (SELECT count(*) FROM t), 6)
+      FROM t GROUP BY lang
+    ) ORDER BY metric
+    """,
+)
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary in long (metric, value) format — size,
+    token/length profile, language composition — two bounded
+    aggregations, schema stable as languages come and go."""
+    from ..operators.corpus_stats import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir))
+
+
