@@ -465,3 +465,84 @@ def anchor_text_pairs(df: DataFrame, html_col: str = "html",
         .alias("a"),
     ).select(id_col, F.col("a.target").alias("target"),
              F.col("a.anchor").alias("anchor"))
+
+
+def robots_crawl_delays(robots_df: DataFrame,
+                        user_agent: str = "*",
+                        host_col: str = "host",
+                        robots_col: str = "robots_txt") -> DataFrame:
+    """(host, crawl_delay) from raw robots.txt rows — feed straight
+    into ``fetch_documents(host_delay=...)`` (or a per-host variant).
+    One Arrow pass over the robots side only."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.robots import parse_robots_txt
+
+    @pandas_udf("double")
+    def delay_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [parse_robots_txt(t, user_agent)["crawl_delay"]
+             for t in texts])
+
+    return robots_df.select(
+        F.col(host_col).alias("host"),
+        delay_udf(F.col(robots_col)).alias("crawl_delay"),
+    ).where(F.col("crawl_delay").isNotNull())
+
+
+def filter_robots_disallowed(df: DataFrame, robots_df: DataFrame,
+                             url_col: str = "url",
+                             id_col: str = "doc_id",
+                             host_col: str = "host",
+                             robots_col: str = "robots_txt",
+                             user_agent: str = "*") -> DataFrame:
+    """Drop documents whose URL a host's robots.txt disallows for
+    ``user_agent`` — the host-level consent filter beside the robots
+    meta (``drop_noindex_pages``); RFC 9309 longest-match semantics.
+
+    Scale shape: robots.txt parsing (the only Python) runs ONCE PER
+    HOST on the small robots side, exploding each host's rules into
+    (host, regex, priority) rows; the corpus joins on host and the
+    longest-match decision is one JVM ``rlike`` + ``max_by`` per
+    document — the payload never crosses into Python and never
+    shuffles (only (id, host, path) triples do). Hosts without a
+    robots row (or with no matching rule) are allowed, per spec.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.robots import robots_rule_table
+
+    @pandas_udf("array<struct<allow: boolean, regex: string,"
+                " priority: int>>")
+    def rules_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([
+            [(r["allow"], r["regex"], r["priority"])
+             for r in robots_rule_table(t, user_agent)]
+            for t in texts])
+
+    rules = (
+        robots_df.select(F.lower(F.col(host_col)).alias("_host"),
+                         F.explode(rules_udf(F.col(robots_col)))
+                         .alias("_r"))
+        .select("_host", F.col("_r.allow").alias("_allow"),
+                F.col("_r.regex").alias("_regex"),
+                F.col("_r.priority").alias("_priority"))
+    )
+    host = F.lower(F.regexp_extract(F.col(url_col), _URL_RE, 1))
+    # REP matches on path + query (fragment excluded)
+    pathq = F.regexp_extract(
+        F.col(url_col),
+        r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?[^/?#]+([^#]*)", 1)
+    pathq = F.when(pathq == "", F.lit("/")).otherwise(pathq)
+    keys = df.select(F.col(id_col), host.alias("_host"),
+                     pathq.alias("_path"))
+    decisions = (
+        keys.join(rules, on="_host")
+        .where(F.expr("_path rlike _regex"))
+        .groupBy(id_col)
+        .agg(F.max_by("_allow", "_priority").alias("_allow"))
+    )
+    blocked = decisions.where(~F.col("_allow")).select(id_col)
+    return df.join(blocked, on=id_col, how="left_anti")

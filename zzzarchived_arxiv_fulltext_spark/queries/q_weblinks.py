@@ -1061,3 +1061,53 @@ def q_registrable_domain_keying(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(wu).orderBy("domain")
 
 
+
+
+@_register(
+    "robots_disallow_filter",
+    """
+    SELECT doc_id,
+           'site' || (doc_id % 5)::VARCHAR
+             || CASE doc_id % 2 WHEN 0 THEN '.com' ELSE '.org' END AS host
+    FROM documents
+    WHERE CASE doc_id % 5
+            WHEN 0 THEN (doc_id % 7) NOT IN (1, 2)
+            WHEN 1 THEN (doc_id % 7) = 3
+            WHEN 4 THEN (doc_id % 7) <> 4
+            ELSE TRUE
+          END
+    ORDER BY doc_id
+    """,
+)
+def q_robots_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level robots.txt consent filter (RFC 9309 longest-match):
+    five planted per-host policies exercise prefix rules, the $ end
+    anchor, Allow-overrides-Disallow, agent-specific groups that do
+    NOT apply to us, missing robots, and * wildcards. Spark runs the
+    real parser (once per host) + JVM rlike/max_by; the oracle states
+    the survivor set in doc_id arithmetic. Hosts carry both .com and
+    .org forms so the join key is the full host, not the suffix."""
+    from ..operators.weblinks import filter_robots_disallowed
+
+    host = F.concat(
+        F.lit("site"), (F.col("doc_id") % 5).cast("string"),
+        F.element_at(F.array(F.lit(".com"), F.lit(".org")),
+                     (F.col("doc_id") % 2 + 1).cast("int")))
+    wu = _docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("https://"), host, F.lit("/p/"),
+                        (F.col("doc_id") % 7).cast("string")))
+    policies = {
+        0: "User-agent: *\nDisallow: /p/1\nDisallow: /p/2$",
+        1: "User-agent: *\nDisallow: /\nAllow: /p/3",
+        2: "User-agent: otherbot\nDisallow: /",
+        4: "User-agent: *\nDisallow: /p/*4",
+    }
+    robots = spark.createDataFrame(
+        [("site%d%s" % (k, tld), txt)
+         for k, txt in policies.items() for tld in (".com", ".org")],
+        ["host", "robots_txt"])
+    out = filter_robots_disallowed(wu, robots)
+    return out.select(
+        "doc_id",
+        F.regexp_extract("url", "https://([^/]+)/", 1).alias("host"),
+    ).orderBy("doc_id")
