@@ -26,9 +26,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from zzzarchived_arxiv_fulltext_spark.config import build_spark  # noqa: E402
-from zzzarchived_arxiv_fulltext_spark.operators.span_extract import (  # noqa: E402
-    extract_documents,
-)
 from zzzarchived_arxiv_fulltext_spark.plans.corpus_prep import (  # noqa: E402
     run_corpus_prep,
 )
@@ -133,14 +130,19 @@ def main():
     lineage = SnapshotTable(str(work / "lineage"))
 
     def do_extract():
-        snap = ext_table.append(
-            extract_documents(spark.read.parquet(str(fixture))))
+        from zzzarchived_arxiv_fulltext_spark.plans.extraction_job import (
+            run_extraction,
+        )
+
+        snap = run_extraction(
+            spark, spark.read.parquet(str(fixture)), ext_table,
+            lineage_table=lineage)
         return {"snapshot": snap}
 
     timings["extract"] = stage("extract", do_extract)
 
     docs = (
-        spark.read.parquet(str(work / "extracted"))
+        ext_table.read(spark)
         .where(F.col("status") == "succeeded")
         .select("doc_id", F.col("plain_text").alias("text"),
                 F.lit("en").alias("lang"))

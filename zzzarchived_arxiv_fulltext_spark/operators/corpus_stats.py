@@ -44,7 +44,10 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     two-pipeline version scanned and shuffled the corpus twice and
     joined the halves back).
     """
-    ws = F.split(F.col(text_col), " ")
+    # the split array is aliased in its OWN projection: inlining
+    # split(text) into a transform lambda re-splits the whole text per
+    # element — O(words²·len) per row; lethal on megabyte documents
+    ws = F.col("_ws")
     bigrams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(ws) - 2, F.lit(0))),
         lambda k: F.array_join(F.slice(ws, k + 1, 2), " "),
@@ -56,9 +59,11 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
             F.lit(1).alias("kind"), g.alias("t"))),
     )
     exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(items).alias("it")
-    ).select("id", F.col("it.kind").alias("kind"),
-             F.col("it.t").alias("t"))
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("_ws"),
+    ).select("id", F.explode(items).alias("it")
+             ).select("id", F.col("it.kind").alias("kind"),
+                      F.col("it.t").alias("t"))
     counts = exploded.groupBy("id", "kind", "t").agg(
         F.count("*").alias("c"))
     is_w = F.col("kind") == 0
@@ -268,7 +273,9 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
     driver OOM at scale — AQE converts the join to broadcast at
     runtime only when the built side actually fits.
     """
-    ws = F.split(F.col(text_col), " ")
+    # alias-projected split (never inline split(text) in a transform
+    # lambda: it re-splits per element — O(words²·len) on giant docs)
+    ws = F.col("_ws")
     pairs = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(ws) - 2, F.lit(0))),
         lambda k: F.struct(
@@ -277,8 +284,10 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
         ),
     )
     exploded = (
-        df.where(F.size(ws) >= 2)
-        .select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
+        df.select(F.col(id_col).alias("id"),
+                  F.split(F.col(text_col), " ").alias("_ws"))
+        .where(F.size(ws) >= 2)
+        .select("id", F.explode(pairs).alias("p"))
         .select("id", "p.w1", "p.w2")
     )
     bigrams = exploded.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
@@ -491,7 +500,9 @@ def lm_perplexity(train: DataFrame, score: DataFrame, lam: float = 0.7,
         raise ValueError("lam must be in [0, 1)")
 
     def pairs(df):
-        ws = F.split(F.col(text_col), " ")
+        # alias-projected split (see word_shingles: inlined split in a
+        # lambda is O(words²·len) per row on giant documents)
+        ws = F.col("_ws")
         ps = F.transform(
             F.sequence(F.lit(0), F.size(ws) - 1),
             lambda k: F.struct(
@@ -500,8 +511,10 @@ def lm_perplexity(train: DataFrame, score: DataFrame, lam: float = 0.7,
             ),
         )
         return (
-            df.where(F.size(ws) >= 1)
-            .select(F.col(id_col).alias("id"), F.explode(ps).alias("p"))
+            df.select(F.col(id_col).alias("id"),
+                      F.split(F.col(text_col), " ").alias("_ws"))
+            .where(F.size(ws) >= 1)
+            .select("id", F.explode(ps).alias("p"))
             .select("id", "p.prev", "p.cur")
         )
 

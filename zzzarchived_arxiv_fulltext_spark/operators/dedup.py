@@ -61,15 +61,27 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
     """Distinct n-word shingles per document: (id, shingle).
 
     Native: split → sequence → transform(slice ∘ concat) → explode.
+
+    The split is materialized behind an alias in its OWN projection:
+    inlining ``split(text)`` into the transform lambda makes Catalyst
+    re-split the full text once per array element — O(words²·len) per
+    row, invisible on 300-word docs and a multi-hour hang on a single
+    2.8 MB giant (the skewed-document class the north rule calls out).
+    CollapseProject keeps the alias because a regex split referenced
+    more than once is not collapse-cheap.
     """
     words = F.split(F.col(text_col), " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda k: F.array_join(F.slice(words, k + 1, n), " "),
-    )
     return (
-        df.select(F.col(id_col).alias("id"),
-                  F.explode(shingles).alias("shingle"))
+        df.select(F.col(id_col).alias("id"), words.alias("_words"))
+        .select(
+            "id",
+            F.explode(F.transform(
+                F.sequence(F.lit(0),
+                           F.greatest(F.size(F.col("_words")) - n,
+                                      F.lit(0))),
+                lambda k: F.array_join(F.slice(F.col("_words"), k + 1, n),
+                                       " "),
+            )).alias("shingle"))
         .distinct()
     )
 

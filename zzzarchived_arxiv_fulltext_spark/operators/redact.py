@@ -81,7 +81,9 @@ def segment_tokens(
     """
     if stride <= 0 or max_tokens <= 0:
         raise ValueError("stride and max_tokens must be positive")
-    words = F.split(F.col(text_col), " ")
+    # alias-projected split (see dedup.word_shingles: a split inlined
+    # into the transform lambda re-splits the text per segment)
+    words = F.col("_words")
     n_segs = F.greatest(
         F.ceil((F.size(words) - F.lit(max_tokens)) / F.lit(stride))
         .cast("int") + 1,
@@ -94,6 +96,9 @@ def segment_tokens(
         ),
     )
     return df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("_words"),
+    ).select(
         F.col(id_col),
         F.posexplode(segs).alias("seg_id", "seg_text"),
     )

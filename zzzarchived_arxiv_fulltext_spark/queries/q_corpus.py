@@ -207,8 +207,13 @@ def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     the content paragraphs, exactly."""
     from ..sources.html_ingest import html_main_text
 
-    docs = _docs(spark, sf_dir).where("doc_id < 300")
-    words = F.split("text", " ")
+    docs = _docs(spark, sf_dir).where("doc_id < 300").select(
+        "doc_id",
+        # alias-projected split (see dedup.word_shingles: a split
+        # inlined into the transform lambda re-splits per chunk)
+        F.split("text", " ").alias("_words"),
+    )
+    words = F.col("_words")
     n_chunks = F.greatest(
         F.ceil(F.size(words) / F.lit(12)).cast("int"), F.lit(1)
     )

@@ -25,7 +25,10 @@ def spanized_documents(docs: DataFrame) -> DataFrame:
     no UDF, fully Catalyst-visible, and mirrored 1:1 by DuckDB SQL in
     the oracle harness.
     """
-    words = F.split(F.col("text"), " ")
+    # alias-projected split (see dedup.word_shingles: a split inlined
+    # into the transform lambda re-splits the text once per chunk —
+    # O(words²·len/12) per row on giant documents)
+    words = F.col("_words")
     n_chunks = F.greatest(
         F.ceil(F.size(words) / F.lit(CHUNK_WORDS)).cast("int"), F.lit(1)
     )
@@ -53,5 +56,8 @@ def spanized_documents(docs: DataFrame) -> DataFrame:
     # reverse() scrambles arrival order vs offset order on purpose
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
+        F.split(F.col("text"), " ").alias("_words"),
+    ).select(
+        "doc_id",
         F.reverse(F.concat(chunk, media)).alias("spans"),
     )
