@@ -142,17 +142,23 @@ if not os.path.exists(path + "/_SUCCESS"):
         for lo, hi in pairs
     )
     cal1 = calibrations()
-    contended = max(cal0[1], cal1[1]) > 1.5 * 0.5
+    # co-tenant load shows up as parallel calibration exceeding serial
+    # (all 8 probe workers queue behind foreign threads); a uniformly
+    # slow-but-idle box keeps parallel ≈ serial and is NOT contention
+    contended = max(cal0[1] / cal0[0], cal1[1] / cal1[0]) > 1.3
     cal_note = (
         f"Box-speed calibration (bench.py probes; idle box ~0.5 s "
         f"serial): start {cal0[0]:.2f} s serial / {cal0[1]:.2f} s "
         f"parallel-8, end {cal1[0]:.2f} / {cal1[1]:.2f}."
-        + (" **Parallel calibration exceeds 1.5x idle: this window was"
-           " CONTENDED — co-tenant load occupies the cores 4N needs,"
-           " so the raw N->4N number under-reads the engine; read the"
-           " engine-attributable ratio (and prefer a quieter re-run)"
-           " before judging the >=0.8 gate.**" if contended else
-           " Quiet window: the raw efficiencies are trustworthy.")
+        + (" **Parallel calibration exceeds 1.3x serial: this window"
+           " was CONTENDED — co-tenant load occupies the cores 4N"
+           " needs, so the raw N->4N number under-reads the engine;"
+           " read the engine-attributable ratio (and prefer a quieter"
+           " re-run) before judging the >=0.8 gate.**" if contended else
+           " Quiet window (parallel ≈ serial: no co-tenant load); the"
+           " efficiencies above reflect the engine plus this VM's"
+           " physical per-core scaling ceiling, with the"
+           " engine-attributable ratio isolating the engine.")
     )
 
     md = f"""# BENCH/BASELINE — measured scaling evidence

@@ -141,10 +141,13 @@ def main():
 
     timings["extract"] = stage("extract", do_extract)
 
+    # corpus prep consumes the CLEANED text (psv): plain_text keeps
+    # newlines, so the gate's split(" ") sees newline-glued tokens and
+    # the avg-token-length check rejects nearly every document
     docs = (
         ext_table.read(spark)
         .where(F.col("status") == "succeeded")
-        .select("doc_id", F.col("plain_text").alias("text"),
+        .select("doc_id", F.col("psv_text").alias("text"),
                 F.lit("en").alias("lang"))
     )
 
