@@ -698,3 +698,92 @@ def test_column_splits_invariants_hypothesis():
                 assert above - below > _COLUMN_GAP
 
     check()
+
+
+# -- interleaved media spans (BASELINE.json payload shape) -------------------
+
+
+def test_pdf_images_interleave_at_page_positions(spark):
+    pdf = make_simple_pdf(
+        [["page one text"], ["page two text"], ["page three text"]],
+        images_per_page=[2, 0, 1],
+    )
+    pdfs = spark.createDataFrame([("d1", pdf)], "doc_id string, pdf binary")
+    spans = pdf_to_spans(pdfs).collect()[0]["spans"]
+    assert [(s["kind"], s["offset"]) for s in spans] == [
+        ("text", 0), ("media", 1), ("media", 2),
+        ("text", 3), ("text", 4), ("media", 5),
+    ]
+    # media refs number in document order
+    assert [s["media_ref"] for s in spans if s["kind"] == "media"] == [
+        "pdfimg://d1/0", "pdfimg://d1/1", "pdfimg://d1/2"
+    ]
+    # text order unchanged vs the page texts
+    assert [s["text"] for s in spans if s["kind"] == "text"] == [
+        "page one text", "page two text", "page three text"
+    ]
+
+
+def test_pdf_orphan_images_trail_after_text(spark):
+    # an image object referenced by no page cannot be positioned —
+    # it degrades to a trailing media span, offsets staying dense
+    pdf = make_simple_pdf([["only page"]]) + (
+        b"\n9 0 obj\n<< /Subtype /Image /Length 3 >>\nstream\nabc\n"
+        b"endstream\nendobj\n"
+    )
+    pdfs = spark.createDataFrame([("d2", pdf)], "doc_id string, pdf binary")
+    spans = pdf_to_spans(pdfs).collect()[0]["spans"]
+    assert [(s["kind"], s["offset"]) for s in spans] == [
+        ("text", 0), ("media", 1)
+    ]
+
+
+def test_html_to_spans_interleaves_media(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.span_extract import (
+        extract_documents,
+    )
+    from zzzarchived_arxiv_fulltext_spark.sources.html_ingest import (
+        html_to_spans,
+    )
+
+    html = (
+        "<html><body><nav><img src='logo.png'>Home</nav>"
+        "<article><p>First real paragraph.</p>"
+        "<img src='/fig.png'><p>Second paragraph.</p></article>"
+        "<footer><img src='foot.png'>(c)</footer></body></html>"
+    )
+    df = spark.createDataFrame(
+        [("h1", html, "https://ex.com/page/a")],
+        "doc_id string, html string, base_url string",
+    )
+    got = html_to_spans(df, base_url_col="base_url").collect()[0]
+    assert [(s["kind"], s["offset"]) for s in got["spans"]] == [
+        ("text", 0), ("media", 1), ("text", 2)
+    ]
+    # nav/footer images are boilerplate; kept media resolves vs base
+    assert got["spans"][1]["media_ref"] == "https://ex.com/fig.png"
+
+    # downstream extraction keeps the interleaving under the
+    # (kind, text, media_ref, order) invariant
+    out = extract_documents(html_to_spans(df)).collect()[0]
+    assert [(s["kind"], s["order"]) for s in out["spans"]] == [
+        ("text", 0), ("media", 1), ("text", 2)
+    ]
+    assert out["spans"][1]["media_ref"] == "/fig.png"
+
+
+def test_router_html_media_spans(spark):
+    from zzzarchived_arxiv_fulltext_spark.sources.ingest_router import (
+        raw_to_spans,
+    )
+
+    raw = spark.createDataFrame(
+        [("h1", b"<html><body><p>alpha block</p><img src='x.png'>"
+                b"<p>beta block</p></body></html>")],
+        "doc_id string, payload binary",
+    )
+    got = raw_to_spans(raw).collect()[0]
+    assert got["format"] == "html"
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in got["spans"]] \
+        == [("text", "alpha block", None), ("media", None, "x.png"),
+            ("text", "beta block", None)]

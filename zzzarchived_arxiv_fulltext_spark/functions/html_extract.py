@@ -115,6 +115,94 @@ def extract_main_text(
     return "\n".join(out)
 
 
+class _SpanParser(_MainTextParser):
+    """Document-order (text block | media) event stream.
+
+    Extends the main-content parser with media capture: ``img`` /
+    ``video`` / ``audio`` / ``embed`` elements (and ``source``
+    children) emit a media event at their true document position,
+    splitting the surrounding text block so the interleaving is
+    preserved. Media inside dropped or boilerplate subtrees is
+    boilerplate too (a logo in the nav bar is not content).
+    """
+
+    _MEDIA_TAGS = frozenset({"img", "video", "audio", "embed", "source"})
+
+    def __init__(self):
+        super().__init__()
+        self.events: List[tuple] = []  # ('text', _Block) | ('media', src)
+
+    def _flush(self):
+        if self.cur.chars:
+            self.events.append(("text", self.cur))
+            self.blocks.append(self.cur)
+            self.cur = _Block()
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._MEDIA_TAGS and not (
+            self.drop_depth or self.boiler_depth
+        ):
+            src = dict(attrs).get("src")
+            if src and not src.startswith("data:"):
+                self._flush()
+                self.events.append(("media", src))
+        super().handle_starttag(tag, attrs)
+
+    def handle_startendtag(self, tag, attrs):
+        # void elements (img) arrive here when self-closed
+        self.handle_starttag(tag, attrs)
+        self.handle_endtag(tag)
+
+
+def extract_main_spans(
+    html: str,
+    base_url: str = None,
+    max_link_density: float = DEFAULT_MAX_LINK_DENSITY,
+) -> List[dict]:
+    """Main content as an INTERLEAVED span sequence.
+
+    Returns ``[{kind, text, media_ref, offset}, ...]`` — text blocks
+    (same boilerplate/link-density rules as :func:`extract_main_text`)
+    and media references at their true document positions, offsets
+    dense in document order. This is the web-document producer for the
+    ``(doc_id, spans)`` input table (BASELINE.json input_hint);
+    reference analogue: the span interleaving the extraction task
+    preserved around its text transform (``fulltext/extract.py``).
+    Malformed markup yields the events parsed so far, never raises.
+    """
+    from urllib.parse import urljoin
+
+    if not html:
+        return []
+    parser = _SpanParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        return []
+    parser._flush()
+    spans: List[dict] = []
+    for kind, payload in parser.events:
+        if kind == "text":
+            text = _WS_RE.sub(" ", "".join(payload.chars)).strip()
+            if not text:
+                continue
+            if payload.link_chars / max(len(text), 1) > max_link_density:
+                continue
+            spans.append({"kind": "text", "text": text,
+                          "media_ref": None, "offset": len(spans)})
+        else:
+            ref = payload
+            if base_url:
+                try:
+                    ref = urljoin(base_url, ref)
+                except ValueError:
+                    pass
+            spans.append({"kind": "media", "text": None,
+                          "media_ref": ref, "offset": len(spans)})
+    return spans
+
+
 class _MetaParser(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)

@@ -975,6 +975,58 @@ def count_pdf_images(pdf: bytes) -> int:
     return len(_IMAGE_RE.findall(pdf))
 
 
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
+
+
+def pdf_page_image_counts(pdf: bytes) -> List[int]:
+    """Image-XObject references per page, in page order.
+
+    Pages follow the ``/Pages /Kids`` array when present (the PDF
+    page-tree order), else file order of ``/Type /Page`` objects.
+    Each page's count is the number of refs inside its
+    ``/Resources /XObject << ... >>`` sub-dictionary that resolve to
+    ``/Subtype /Image`` objects. Images referenced by no page (or by
+    Form XObjects) are NOT counted here — callers compare against
+    :func:`count_pdf_images` to place orphans at document end.
+    Malformed structure degrades to ``[]``, never raises.
+    """
+    try:
+        image_objs = set()
+        page_slices = {}  # obj num -> dict slice
+        kids_order: List[int] = []
+        for m in _OBJ_HEAD_RE.finditer(pdf):
+            num = int(m.group(1))
+            end = pdf.find(b"endobj", m.end())
+            body = pdf[m.end(): end if end != -1 else len(pdf)]
+            head = body.split(b"stream", 1)[0]
+            if _IMAGE_RE.search(head):
+                image_objs.add(num)
+            elif re.search(rb"/Type\s*/Pages\b", head):
+                km = re.search(rb"/Kids\s*\[([^\]]*)\]", head)
+                if km:
+                    kids_order.extend(
+                        int(r.group(1)) for r in _REF_RE.finditer(km.group(1))
+                    )
+            elif re.search(rb"/Type\s*/Page\b", head):
+                page_slices[num] = head
+        ordered = [n for n in kids_order if n in page_slices]
+        ordered += [n for n in page_slices if n not in set(ordered)]
+        counts = []
+        for num in ordered:
+            head = page_slices[num]
+            xm = re.search(rb"/XObject\s*<<", head)
+            if not xm:
+                counts.append(0)
+                continue
+            xdict = _balanced_dict_slice(head, xm.end() - 2)
+            refs = [int(r.group(1)) for r in _REF_RE.finditer(xdict)]
+            counts.append(sum(1 for r in refs if r in image_objs))
+        return counts
+    except Exception:
+        return []
+
+
 # ---------------------------------------------------------------------------
 # Minimal-but-valid PDF writer (fixtures + round-trip tests): real
 # xref table, Flate-compressed content streams, escaped strings.
@@ -986,9 +1038,17 @@ def _pdf_escape(s: str) -> bytes:
     return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
-def make_simple_pdf(pages: List[List[str]], compress: bool = True) -> bytes:
-    """Build a valid single-font PDF showing ``pages`` of text lines."""
+def make_simple_pdf(pages: List[List[str]], compress: bool = True,
+                    images_per_page: Optional[List[int]] = None) -> bytes:
+    """Build a valid single-font PDF showing ``pages`` of text lines.
+
+    ``images_per_page[i]`` (default 0) embeds that many 1×1 grayscale
+    image XObjects referenced from page ``i``'s resources — the
+    fixture shape for interleaved media ingestion.
+    """
     objs: List[bytes] = []
+    imgs = list(images_per_page or [])
+    imgs += [0] * (len(pages) - len(imgs))
 
     def add(body: bytes) -> int:
         objs.append(body)
@@ -997,8 +1057,10 @@ def make_simple_pdf(pages: List[List[str]], compress: bool = True) -> bytes:
     font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     page_ids = []
     content_ids = []
-    pages_id_placeholder = len(objs) + 2 * len(pages) + 1
-    for lines in pages:
+    pages_id_placeholder = (
+        len(objs) + 2 * len(pages) + sum(imgs) + 1
+    )
+    for lines, n_img in zip(pages, imgs):
         ops = [b"BT /F1 12 Tf 72 720 Td"]
         for k, line in enumerate(lines):
             if k:
@@ -1014,10 +1076,21 @@ def make_simple_pdf(pages: List[List[str]], compress: bool = True) -> bytes:
             b"<< /Length %d%s >>\nstream\n%s\nendstream"
             % (len(stream), filt, stream)
         )
+        img_ids = [
+            add(b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 "
+                b">>\nstream\n\x00\nendstream")
+            for _ in range(n_img)
+        ]
+        xobj = b""
+        if img_ids:
+            xobj = b" /XObject << " + b" ".join(
+                b"/Im%d %d 0 R" % (k, i) for k, i in enumerate(img_ids)
+            ) + b" >>"
         page = add(
             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
-            % (pages_id_placeholder, font, content)
+            b"/Resources << /Font << /F1 %d 0 R >>%s >> /Contents %d 0 R >>"
+            % (pages_id_placeholder, font, xobj, content)
         )
         page_ids.append(page)
         content_ids.append(content)

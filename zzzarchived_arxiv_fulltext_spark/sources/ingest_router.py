@@ -20,9 +20,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from ..functions.html_extract import extract_main_text
-from ..functions.pdf_text import count_pdf_images, extract_pdf_page_texts
+from ..functions.html_extract import extract_main_spans
+from ..functions.pdf_text import extract_pdf_page_texts
 from ..schema import INPUT_SPAN
+from .pdf_ingest import build_pdf_spans
 from .warc import gunzip_members
 
 ROUTED_SCHEMA = T.StructType(
@@ -54,22 +55,9 @@ def sniff_format(data: bytes) -> str:
 
 def _spans_for(doc_id: str, data: bytes, fmt: str) -> List[dict]:
     if fmt == "pdf":
-        pages = extract_pdf_page_texts(data)
-        spans = [
-            {"kind": "text", "text": p, "media_ref": None, "offset": k}
-            for k, p in enumerate(pages)
-        ]
-        for m in range(count_pdf_images(data)):
-            spans.append({"kind": "media", "text": None,
-                          "media_ref": f"pdfimg://{doc_id}/{m}",
-                          "offset": len(pages) + m})
-        return spans
+        return build_pdf_spans(doc_id, data, extract_pdf_page_texts(data))
     if fmt == "html":
-        text = extract_main_text(data.decode("utf-8", "replace"))
-        if not text:
-            return []
-        return [{"kind": "text", "text": text, "media_ref": None,
-                 "offset": 0}]
+        return extract_main_spans(data.decode("utf-8", "replace"))
     if fmt == "text":
         return [{"kind": "text", "text": data.decode("utf-8"),
                  "media_ref": None, "offset": 0}]

@@ -29,6 +29,7 @@ from ..functions.pdf_text import (
     count_pdf_images,
     extract_pdf_page_texts,
     is_encrypted,
+    pdf_page_image_counts,
 )
 from ..schema import INPUT_SCHEMA
 
@@ -61,18 +62,59 @@ def _pdfminer_page_texts(pdf: bytes) -> List[str]:  # pragma: no cover
     return [p for p in text.split("\f") if p.strip()]
 
 
+def build_pdf_spans(doc_id: str, data: bytes,
+                    pages: List[str]) -> List[dict]:
+    """Interleaved span list for one parsed PDF.
+
+    Image XObjects referenced from a page's resources interleave at
+    that page's position (page text span, then its media spans —
+    BASELINE.json's interleaved payload shape); media refs are
+    ``pdfimg://{doc_id}/{m}`` with ``m`` the document-order image
+    index. When the page-object structure can't be aligned with the
+    extracted text streams (textless pages, malformed page tree), all
+    images degrade to trailing media spans — offsets stay dense and
+    text order is unaffected either way.
+    """
+    per_page = pdf_page_image_counts(data) if data else []
+    n_images = count_pdf_images(data) if data else 0
+    spans: List[dict] = []
+    img_idx = 0
+    if len(per_page) == len(pages):
+        for page, n_img in zip(pages, per_page):
+            spans.append({"kind": "text", "text": page,
+                          "media_ref": None, "offset": len(spans)})
+            for _ in range(n_img):
+                spans.append({
+                    "kind": "media", "text": None,
+                    "media_ref": f"pdfimg://{doc_id}/{img_idx}",
+                    "offset": len(spans),
+                })
+                img_idx += 1
+    else:
+        spans = [
+            {"kind": "text", "text": page, "media_ref": None, "offset": k}
+            for k, page in enumerate(pages)
+        ]
+    for m in range(img_idx, n_images):  # orphans / unaligned remainder
+        spans.append({"kind": "media", "text": None,
+                      "media_ref": f"pdfimg://{doc_id}/{m}",
+                      "offset": len(spans)})
+    return spans
+
+
 def pdf_to_spans(pdfs: DataFrame, engine: str = "builtin",
                  strip_furniture: bool = False) -> DataFrame:
     """(doc_id, pdf:binary) → (doc_id, spans, failure_class).
 
-    Text spans carry page text in page order (offset = position);
-    every embedded image XObject becomes a media span referencing the
-    source document, appended after the text spans. ``failure_class``
-    is 'encrypted' for /Encrypt-protected files that yielded no text
-    (instead of silently-empty spans), NULL otherwise.
-    ``strip_furniture=True`` removes running headers/footers/page
-    numbers via the positional repeated-line heuristic
-    (``functions.quality.strip_page_furniture``) before span emission.
+    Text spans carry page text in page order; every embedded image
+    XObject becomes a media span INTERLEAVED at its page's position
+    when the page tree aligns (``build_pdf_spans``), else appended
+    after the text spans. ``failure_class`` is 'encrypted' for
+    /Encrypt-protected files that yielded no text (instead of
+    silently-empty spans), NULL otherwise. ``strip_furniture=True``
+    removes running headers/footers/page numbers via the positional
+    repeated-line heuristic (``functions.quality.strip_page_furniture``)
+    before span emission.
     """
     if engine not in ("builtin", "pdfminer"):
         raise ValueError(f"unknown engine {engine!r}")
@@ -100,17 +142,7 @@ def pdf_to_spans(pdfs: DataFrame, engine: str = "builtin",
                     pages = extract_pdf_page_texts(data)
                 if strip_furniture:
                     pages, _ = strip_page_furniture(pages)
-                spans = [
-                    {"kind": "text", "text": page, "media_ref": None,
-                     "offset": k}
-                    for k, page in enumerate(pages)
-                ]
-                for m in range(count_pdf_images(data)):
-                    spans.append({
-                        "kind": "media", "text": None,
-                        "media_ref": f"pdfimg://{doc_id}/{m}",
-                        "offset": len(pages) + m,
-                    })
+                spans = build_pdf_spans(doc_id, data, pages)
                 fail = None
                 if not pages and data and is_encrypted(data):
                     fail = "encrypted"
