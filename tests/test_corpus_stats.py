@@ -482,3 +482,55 @@ def test_bpe_merge_empty_tokens_do_not_cascade(spark):
            for r in bpe_train_merges(df, n_merges=2)
            .orderBy("round").collect()]
     assert got == [(1, "", "", 2), (2, "", "", 1)]
+
+
+# -- BPE encode (serve half) -------------------------------------------------
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        bpe_encode,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", "p q r s p q r s"), ("d2", "p q p q"),
+         ("d3", "r s r"), ("d4", "")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: r["bpe_tokens"] for r in
+           bpe_encode(df, [("p", "q"), ("pq", "r")]).collect()}
+    assert got["d1"] == ["pqr", "s", "pqr", "s"]
+    assert got["d2"] == ["pq", "pq"]
+    assert got["d3"] == ["r", "s", "r"]   # no merge applies
+    assert got["d4"] == [""]
+
+
+def test_bpe_encode_jvm_and_pandas_paths_agree(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        bpe_encode,
+    )
+
+    rows = [("d%d" % i, "p q r s x p q " * (i + 1)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    merges = [("p", "q"), ("pq", "r"), ("pqr", "s")]
+    jvm = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe_encode(df, merges).collect()}
+    arrow = {r["doc_id"]: r["bpe_tokens"]
+             for r in bpe_encode(df, merges, max_jvm_merges=0).collect()}
+    assert jvm == arrow and len(jvm) == 6
+
+
+def test_bpe_encode_inverts_training_on_planted_corpus(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame(
+        [("d%d" % i, ("p q r s " * 3).strip()) for i in range(4)],
+        "doc_id string, text string")
+    merges = bpe_train_merges(df, n_merges=2)
+    got = bpe_encode(df, merges).collect()
+    for r in got:
+        # trained merges (p,q) then (pq,r) → every repeat is [pqr, s]
+        assert r["bpe_tokens"][:2] == ["pqr", "s"]
+        assert r["n_bpe_tokens"] == 6

@@ -203,3 +203,62 @@ def test_dedup_lines_global_doc_fully_deduped(spark):
            dedup_lines_global(df, min_chars=1).collect()}
     assert got[1]["text"] == "only line"
     assert got[2]["text"] == "" and got[2]["n_lines_dropped"] == 1
+
+
+# -- exact-substring (duplicated n-gram window) dedup ------------------------
+
+
+def test_duplicated_window_coverage_basic(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.dedup import (
+        duplicated_window_coverage,
+    )
+
+    rows = [
+        # d1/d2 share the 4-token run "a b c d" (one duplicated window)
+        ("d1", "a b c d x1 y1 z1 w1"),
+        ("d2", "p2 a b c d q2 r2 s2"),
+        # d3: within-doc repeat "k k k k k" → overlapping dup windows
+        ("d3", "k k k k k m3 n3 o3"),
+        # d4: all-unique tokens, no duplication anywhere
+        ("d4", "u1 u2 u3 u4 u5 u6 u7 u8"),
+        # d5: shorter than n → zero windows
+        ("d5", "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in
+           duplicated_window_coverage(df, n=4).collect()}
+
+    assert got["d1"]["n_windows"] == 5
+    assert got["d1"]["n_dup_windows"] == 1
+    assert got["d1"]["dup_tokens"] == 4          # tokens 0..3
+    assert got["d2"]["n_dup_windows"] == 1
+    assert got["d2"]["dup_tokens"] == 4          # tokens 1..4
+
+    # d3: windows at 0 and 1 are both 'k k k k' (duplicated pair),
+    # union of [0,4) and [1,5) = 5 tokens
+    assert got["d3"]["n_dup_windows"] == 2
+    assert got["d3"]["dup_tokens"] == 5
+    assert abs(got["d3"]["dup_fraction"] - 5 / 8) < 1e-9
+
+    assert got["d4"]["n_dup_windows"] == 0
+    assert got["d4"]["dup_tokens"] == 0
+    assert got["d5"]["n_windows"] == 0
+    assert got["d5"]["dup_tokens"] == 0
+
+
+def test_duplicated_window_coverage_islands_merge(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.dedup import (
+        duplicated_window_coverage,
+    )
+
+    # d1 contains the shared run twice, separated by unique filler →
+    # two disjoint islands whose lengths add (no double counting)
+    rows = [
+        ("d1", "a b c f1 f2 f3 f4 a b c g1 g2"),
+        ("d2", "h1 a b c h2 h3 h4 h5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in
+           duplicated_window_coverage(df, n=3).collect()}
+    assert got["d1"]["n_dup_windows"] == 2   # positions 0 and 7
+    assert got["d1"]["dup_tokens"] == 6      # [0,3) ∪ [7,10)

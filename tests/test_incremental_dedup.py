@@ -157,3 +157,24 @@ def test_incremental_second_run_reads_only_bucket_index(spark, tmp_path):
         threshold=0.5)
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (2, 10) in got and (4, 11) in got
+
+
+def test_incremental_string_ids_with_commit_meta(spark, tmp_path):
+    """The sf1-soak regression: extraction doc_ids are STRINGS, and a
+    stamped wave 1 reads the committed bucket index through a forced
+    schema — which must inherit the corpus id type, not assume long
+    (least(string, bigint) analysis error otherwise)."""
+    w1, w2 = _frames(spark)
+    as_str = lambda df: df.select(  # noqa: E731
+        F.concat(F.lit("doc-"), F.format_string("%04d", "doc_id"))
+        .alias("doc_id"), "text")
+    w1s, w2s = as_str(w1), as_str(w2)
+    full = w1s.unionByName(w2s)
+
+    buckets = SnapshotTable(str(tmp_path / "buckets"))
+    run_dedup_incremental(spark, w1s, corpus=w1s, bucket_table=buckets,
+                          threshold=0.5, commit_meta={"wave": 0})
+    inc2 = _pairs(run_dedup_incremental(
+        spark, w2s, corpus=full, bucket_table=buckets,
+        threshold=0.5, commit_meta={"wave": 1}))
+    assert ("doc-0002", "doc-0010", 1.0) in inc2

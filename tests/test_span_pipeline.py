@@ -71,3 +71,81 @@ def test_generator_is_deterministic_across_partitioning(spark):
     b = spans_table(spark, 50, SEED, parallelism=7).collect()
     key = lambda r: r["doc_id"]
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+# -- caption-context mining (media ↔ adjacent text) --------------------------
+
+
+def test_media_caption_contexts_basic(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.span_extract import (
+        media_caption_contexts,
+    )
+
+    def span(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref,
+                "offset": off}
+
+    rows = [
+        # media between two text spans; offsets deliberately unsorted
+        ("d1", [span("text", "after fig", None, 2),
+                span("media", None, "img://1", 1),
+                span("text", "before fig", None, 0)]),
+        # media at both document edges
+        ("d2", [span("media", None, "img://a", 0),
+                span("text", "middle", None, 1),
+                span("media", None, "img://b", 2)]),
+        # consecutive media share the same neighbours
+        ("d3", [span("text", "lead", None, 0),
+                span("media", None, "img://x", 1),
+                span("media", None, "img://y", 2),
+                span("text", "tail", None, 3)]),
+        # no media → contributes no rows
+        ("d4", [span("text", "only text", None, 0)]),
+    ]
+    schema = ("doc_id string, spans array<struct<kind:string,"
+              "text:string,media_ref:string,offset:int>>")
+    out = {(r["doc_id"], r["media_ref"]): r for r in
+           media_caption_contexts(
+               spark.createDataFrame(rows, schema)).collect()}
+
+    assert len(out) == 5
+    r = out[("d1", "img://1")]
+    assert (r["text_before"], r["text_after"]) == ("before fig", "after fig")
+    assert out[("d2", "img://a")]["text_before"] is None
+    assert out[("d2", "img://a")]["text_after"] == "middle"
+    assert out[("d2", "img://b")]["text_before"] == "middle"
+    assert out[("d2", "img://b")]["text_after"] is None
+    for ref in ("img://x", "img://y"):
+        r = out[("d3", ref)]
+        assert (r["text_before"], r["text_after"]) == ("lead", "tail")
+
+
+def test_media_caption_contexts_on_generated_fixture(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.span_extract import (
+        media_caption_contexts,
+    )
+    from zzzarchived_arxiv_fulltext_spark.sources.fixtures import (
+        spans_table,
+    )
+
+    df = spans_table(spark, 80, SEED)
+    got = media_caption_contexts(df).collect()
+    n_media = df.selectExpr(
+        "aggregate(transform(spans, s -> cast(s.kind = 'media' as int)),"
+        " 0, (a, x) -> a + x) n").agg({"n": "sum"}).first()[0]
+    # one output row per media span, each with a python-side twin
+    assert len(got) == n_media
+    rows = {r["doc_id"]: sorted(
+        [s.asDict() for s in r["spans"]], key=lambda s: s["offset"])
+        for r in df.collect()}
+    for r in got:
+        spans = rows[r["doc_id"]]
+        i = next(k for k, s in enumerate(spans)
+                 if s["kind"] == "media"
+                 and s["media_ref"] == r["media_ref"]
+                 and s["offset"] == r["media_offset"])
+        before = next((s["text"] for s in reversed(spans[:i])
+                       if s["kind"] == "text"), None)
+        after = next((s["text"] for s in spans[i + 1:]
+                      if s["kind"] == "text"), None)
+        assert (r["text_before"], r["text_after"]) == (before, after), r

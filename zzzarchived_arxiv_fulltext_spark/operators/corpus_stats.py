@@ -691,3 +691,65 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 3,
 
     return df.sparkSession.createDataFrame(
         merges, "round int, left string, right string, pair_count long")
+
+
+def bpe_encode(df: DataFrame, merges, text_col: str = "text",
+               id_col: str = "doc_id", out_col: str = "bpe_tokens",
+               max_jvm_merges: int = 64) -> DataFrame:
+    """Apply a trained BPE merge table (the SERVE half of
+    :func:`bpe_train_merges`): tokens are whitespace symbols; each
+    (left, right) merge rewrites every adjacent occurrence
+    left-to-right non-overlapping, in rank order — the standard BPE
+    encode loop. ``merges`` is the training output DataFrame
+    (round, left, right[, pair_count]) or a list of (left, right).
+
+    Returns ``df`` with ``out_col`` = array<string> of encoded tokens
+    and ``n_bpe_tokens``. The merge table is tokenizer metadata —
+    bounded by construction (vocab-size rows, like IVF centroids), so
+    collecting it to the driver is not a scale hazard.
+
+    Plan shape: with a small table (<= ``max_jvm_merges``) the whole
+    chain stays JVM-side — one sentinel-wrapped literal replace per
+    merge, no Python. Bigger tables switch to one Arrow-batched pandas
+    UDF applying the same replace chain per batch (one crossing, the
+    chain runs in C-speed str.replace) — identical semantics, proven
+    by the parity test.
+    """
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("round").select("left", "right").collect()
+        pairs = [(r["left"], r["right"]) for r in rows]
+    else:
+        pairs = [(left, right) for left, right in merges]
+    B1, B2 = "\x01", "\x02"
+    clean = F.replace(
+        F.replace(F.col(text_col), F.lit(B1), F.lit("")),
+        F.lit(B2), F.lit(""))
+    seq = F.concat(
+        F.lit(B1), F.array_join(F.split(clean, " "), B2 + B1), F.lit(B2))
+
+    if len(pairs) <= max_jvm_merges:
+        for left, right in pairs:
+            seq = F.replace(
+                seq,
+                F.lit(B1 + left + B2 + B1 + right + B2),
+                F.lit(B1 + left + right + B2))
+        encoded = seq
+    else:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def apply_merges(seqs: pd.Series) -> pd.Series:
+            def enc(s):
+                for left, right in pairs:
+                    s = s.replace(B1 + left + B2 + B1 + right + B2,
+                                  B1 + left + right + B2)
+                return s
+            return seqs.map(enc)
+
+        encoded = apply_merges(seq)
+
+    toks = F.split(
+        F.substring(encoded, 2, F.length(encoded) - 2), B2 + B1)
+    return df.withColumn(out_col, toks).withColumn(
+        "n_bpe_tokens", F.size(out_col).cast("long"))

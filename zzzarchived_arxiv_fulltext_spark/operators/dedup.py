@@ -418,3 +418,102 @@ def dedup_lines_global(df: DataFrame, text_col: str = "text",
             .cast("long").alias("n_lines_dropped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# exact-substring dedup: duplicated n-gram windows
+# --------------------------------------------------------------------------
+
+
+def duplicated_window_coverage(df: DataFrame, n: int = 8,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Per-document duplicated-substring coverage, the exact-substring
+    dedup signal (train-data dedup literature: substrings of >= n
+    tokens that occur more than once in the corpus are memorization
+    fuel; reference-pipeline analogue: none — the reference deduped
+    at whole-document granularity only, fulltext/store.py).
+
+    A WINDOW is n consecutive tokens (whitespace split, position =
+    token index). A window is DUPLICATED when its exact token string
+    occurs at >= 2 (doc, position) sites corpus-wide — within-doc
+    repeats count, matching the suffix-array formulation. Coverage is
+    the UNION length of each doc's duplicated [pos, pos+n) intervals
+    (overlaps merged via a linear fold over sorted starts), i.e. how
+    many of the doc's tokens sit inside at least one duplicated
+    window.
+
+    Returns (doc_id, n_windows, n_dup_windows, dup_tokens,
+    dup_fraction); docs shorter than n tokens have 0 windows.
+
+    Scale shape: the explode emits one row per (doc, window) — O(total
+    tokens) rows carrying ~n-word strings; the groupBy(gram) count is
+    map-side combinable, and the rejoin is on the same gram key so AQE
+    coalesces both sides' shuffles. Per-doc island merge happens on
+    collected POSITIONS (ints, bounded by doc length), never on
+    strings. No driver-side state.
+    """
+    words = F.col("_words")
+    # guard size < n: sequence(0, negative) counts DOWN in Spark
+    grams = F.expr(
+        f"if(size(_words) >= {n}, "
+        f"transform(sequence(0, size(_words) - {n}), "
+        f"i -> array_join(slice(_words, i + 1, {n}), ' ')), "
+        f"array())"
+    )
+    base = (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_words"))
+        .select(
+            F.col(id_col),
+            (F.size(words) - F.lit(n) + 1).alias("_nw"),
+            grams.alias("_grams"),
+        )
+    )
+    windows = base.select(
+        id_col, F.posexplode("_grams").alias("pos", "gram")
+    )
+    dup_grams = (
+        windows.groupBy("gram").agg(F.count("*").alias("_sites"))
+        .where(F.col("_sites") >= 2)
+        .select("gram")
+    )
+    dup_positions = windows.join(dup_grams, on="gram").select(id_col, "pos")
+
+    # union length of [pos, pos+n) intervals: fold over sorted starts
+    fold = F.expr(
+        f"""aggregate(
+              _starts,
+              named_struct('covered', 0L, 'cur_end', -1L),
+              (acc, p) -> named_struct(
+                  'covered', acc.covered +
+                      (p + {n} - greatest(cast(p as bigint), acc.cur_end))
+                      * cast(p + {n} > acc.cur_end as int),
+                  'cur_end', greatest(acc.cur_end, cast(p + {n} as bigint))),
+              acc -> acc.covered)"""
+    )
+    per_doc = (
+        dup_positions.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
+        .select(
+            F.col(id_col),
+            F.size("_starts").alias("_n_dup"),
+            fold.alias("_covered"),
+        )
+    )
+    n_windows = F.greatest(F.col("_nw"), F.lit(0)).cast("long")
+    return (
+        base.select(id_col, "_nw")
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            n_windows.alias("n_windows"),
+            F.coalesce(F.col("_n_dup"), F.lit(0)).cast("long")
+            .alias("n_dup_windows"),
+            F.coalesce(F.col("_covered"), F.lit(0)).cast("long")
+            .alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("_covered"), F.lit(0))
+                / (F.col("_nw") + F.lit(n) - 1), 6
+            ).alias("dup_fraction"),
+        )
+    )

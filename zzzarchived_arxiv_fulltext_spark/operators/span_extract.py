@@ -241,3 +241,86 @@ def extract_documents_struct(df: DataFrame,
             F.spark_partition_id().alias("partition_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Caption-context mining over the interleaved span table: the
+# text↔media adjacency signal (alt-text/caption pairs) multimodal
+# training sets harvest. No reference analogue (the reference dropped
+# media spans at the Celery task boundary); Spark-first design.
+# ---------------------------------------------------------------------------
+
+# int-only prefix folds (same discipline as _RANKS: appending ints is
+# cheap; appending structs with big strings would copy O(n²) bytes).
+# acc[i+1] = 1-based index of the nearest text span at-or-before i
+# (-1 when none); media spans are never text, so for a media position
+# this is strictly the nearest text BEFORE it.
+_LAST_TEXT_IDX = """
+aggregate(
+  sequence(1, size(_sorted)),
+  array(cast(-1 as int)),
+  (acc, i) -> array_append(acc,
+      if(element_at(_sorted, i).kind = 'text', i,
+         element_at(acc, size(acc)))))
+"""
+
+# same scan right-to-left: acc holds indexes from the END; after the
+# fold, next-text for position i sits at acc[size - i + 2].
+_NEXT_TEXT_IDX = """
+aggregate(
+  sequence(size(_sorted), 1, -1),
+  array(cast(-1 as int)),
+  (acc, i) -> array_append(acc,
+      if(element_at(_sorted, i).kind = 'text', i,
+         element_at(acc, size(acc)))))
+"""
+
+_MEDIA_CONTEXTS = """
+transform(
+  filter(sequence(1, size(_sorted)),
+         i -> element_at(_sorted, i).kind = 'media'),
+  i -> named_struct(
+    'media_ref', element_at(_sorted, i).media_ref,
+    'media_offset', element_at(_sorted, i).offset,
+    'text_before',
+      if(element_at(_last, i + 1) > 0,
+         element_at(_sorted, element_at(_last, i + 1)).text,
+         cast(null as string)),
+    'text_after',
+      if(element_at(_next, size(_sorted) - i + 2) > 0,
+         element_at(_sorted,
+                    element_at(_next, size(_sorted) - i + 2)).text,
+         cast(null as string))))
+"""
+
+
+def media_caption_contexts(df: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, spans) → one row per MEDIA span with its adjacent
+    text: (doc_id, media_ref, media_offset, text_before, text_after).
+
+    ``text_before``/``text_after`` are the nearest text spans by
+    offset order on either side (NULL at document edges) — the
+    caption-candidate pair for image-text training data.
+
+    Plan shape: map-only (sort + two int-only prefix folds + one
+    projection per row, all JVM), then a single explode — no shuffle,
+    no Python, linear in span count. Docs with no media contribute no
+    rows.
+    """
+    sorted_spans = F.expr(
+        "array_sort(spans, (a, b) -> a.offset - b.offset)")
+    return (
+        df.withColumn("_sorted", sorted_spans)
+        .withColumn("_last", F.expr(_LAST_TEXT_IDX))
+        .withColumn("_next", F.expr(_NEXT_TEXT_IDX))
+        .select(F.col(id_col),
+                F.explode(F.expr(_MEDIA_CONTEXTS)).alias("_m"))
+        .select(
+            id_col,
+            F.col("_m.media_ref").alias("media_ref"),
+            F.col("_m.media_offset").alias("media_offset"),
+            F.col("_m.text_before").alias("text_before"),
+            F.col("_m.text_after").alias("text_after"),
+        )
+    )

@@ -38,7 +38,14 @@ from ..operators.dedup import (
 )
 from ..sources.tables import SnapshotTable
 
-BUCKET_SCHEMA = "id long, band int, bucket string"
+def bucket_schema(delta: DataFrame, id_col: str) -> str:
+    """Bucket-index schema with the id typed AS THE CALLER'S ids are
+    typed. Hardcoding ``id long`` here broke the sf1 soak: extraction
+    doc_ids are strings, so wave 1's forced-schema read of the
+    committed index type-mismatched the delta join (least(string,
+    bigint)). The index must inherit the corpus id type."""
+    id_type = delta.schema[id_col].dataType.simpleString()
+    return f"id {id_type}, band int, bucket string"
 
 
 def _band_buckets(signatures: DataFrame, bands: int,
@@ -107,7 +114,8 @@ def run_dedup_incremental(
     # own append, or the delta matches its own prior bucket rows.
     if bucket_table.snapshots():
         hist = (bucket_table.read_excluding_meta(
-                    spark, commit_meta, schema=BUCKET_SCHEMA)
+                    spark, commit_meta,
+                    schema=bucket_schema(delta, id_col))
                 if commit_meta else bucket_table.read(spark))
         cross = (
             delta_buckets.alias("d")

@@ -623,3 +623,215 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_keep_list(pairs, corpus)
 
 
+
+
+# --------------------------------------------------------------------------
+# Interleaved media ingestion (BASELINE.json payload shape): images at
+# true document positions, round-tripped through the real parsers.
+# --------------------------------------------------------------------------
+
+@_register(
+    "html_interleaved_spans",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             greatest(cast(ceil(len(string_split(text, ' ')) / 10.0)
+                           AS BIGINT), 1) AS n_par
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, n_par AS n_text_spans, 1::BIGINT AS n_media_spans,
+           least(doc_id % 3, n_par - 1)::BIGINT AS media_offset,
+           1 AS text_ok
+    FROM t ORDER BY doc_id
+    """,
+)
+def q_html_interleaved_spans(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Real-parser round trip for INTERLEAVED web documents: each
+    doc becomes a full HTML page (boilerplate nav dropped by the
+    extractor, nav logo included) whose body is 10-word paragraphs
+    with one content image planted before paragraph (doc_id % 3);
+    ``html_to_spans`` must recover the text blocks AND the media span
+    at exactly that offset."""
+    import pandas as pd
+
+    from ..sources.html_ingest import html_to_spans
+
+    docs = _docs(spark, sf_dir).where("doc_id < 300") \
+        .select("doc_id", "text")
+
+    def build(batches):
+        for b in batches:
+            htmls = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                pars = _chunked(text, 10)
+                j = min(int(doc_id) % 3, len(pars) - 1)
+                body = []
+                for k, par in enumerate(pars):
+                    if k == j:
+                        body.append(f"<img src='img://{doc_id}/0'>")
+                    body.append(f"<p>{par}</p>")
+                htmls.append(
+                    "<html><head><title>t</title></head><body>"
+                    "<nav><a href='/'>Home</a><img src='nav.png'></nav>"
+                    "<main>" + "".join(body) + "</main>"
+                    "<footer>gen</footer></body></html>")
+            yield pd.DataFrame({"doc_id": b["doc_id"], "html": htmls})
+
+    raw = docs.mapInPandas(build, schema="doc_id long, html string")
+    spans = html_to_spans(
+        raw.select(F.col("doc_id").cast("string").alias("doc_id"),
+                   "html")
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "spans")
+    texts = F.expr(
+        "transform(filter(spans, s -> s.kind = 'text'), s -> s.text)")
+    media = F.expr("filter(spans, s -> s.kind = 'media')")
+    return (
+        spans.join(docs, on="doc_id")
+        .select(
+            "doc_id",
+            F.size(texts).cast("long").alias("n_text_spans"),
+            F.size(media).cast("long").alias("n_media_spans"),
+            F.element_at(media, 1)["offset"].cast("long")
+            .alias("media_offset"),
+            (F.array_join(texts, " ") == F.col("text"))
+            .cast("int").alias("text_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "pdf_interleaved_spans",
+    """
+    SELECT doc_id,
+           'text' || repeat(',media', (doc_id % 2)::INT) || ',text'
+             || CASE WHEN doc_id % 3 = 0 THEN ',media' ELSE '' END
+             AS kinds_sig,
+           (doc_id % 2
+            + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_media_spans,
+           1 AS text_ok
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """,
+)
+def q_pdf_interleaved_spans(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Real-parser round trip for INTERLEAVED PDFs: two-page files
+    with (doc_id % 2) images on page one and one more on page two
+    when doc_id % 3 = 0; ``pdf_to_spans`` must emit each image at its
+    page's position (page-tree /Kids + /Resources /XObject
+    resolution), never just appended at the end."""
+    import pandas as pd
+
+    from ..functions.pdf_text import make_simple_pdf
+    from ..sources.pdf_ingest import pdf_to_spans
+
+    docs = _docs(spark, sf_dir).where("doc_id < 300") \
+        .select("doc_id", "text")
+
+    def build(batches):
+        for b in batches:
+            pdfs, expected = [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                lines = _chunked(text)
+                pdfs.append(make_simple_pdf(
+                    [lines, ["tail page marker"]],
+                    images_per_page=[int(doc_id) % 2,
+                                     1 if int(doc_id) % 3 == 0 else 0]))
+                expected.append("\n".join(lines) + "\ntail page marker")
+            yield pd.DataFrame({"doc_id": b["doc_id"], "pdf": pdfs,
+                                "expected": expected})
+
+    raw = docs.mapInPandas(
+        build, schema="doc_id long, pdf binary, expected string")
+    spans = pdf_to_spans(
+        raw.select(F.col("doc_id").cast("string").alias("doc_id"), "pdf"))
+    texts = F.expr(
+        "transform(filter(spans, s -> s.kind = 'text'), s -> s.text)")
+    return (
+        spans.select(F.col("doc_id").cast("long").alias("doc_id"), "spans")
+        .join(raw.select("doc_id", "expected"), on="doc_id")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform("spans", lambda s: s["kind"]), ",")
+            .alias("kinds_sig"),
+            F.expr("size(filter(spans, s -> s.kind = 'media'))")
+            .cast("long").alias("n_media_spans"),
+            (F.array_join(texts, "\n") == F.col("expected"))
+            .cast("int").alias("text_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Caption-context mining over a deterministically-built interleaved
+# span table (media planted between known paragraphs)
+# --------------------------------------------------------------------------
+
+@_register(
+    "media_caption_contexts",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+    p AS (SELECT doc_id, w,
+                 greatest(cast(ceil(len(w) / 10.0) AS BIGINT), 1)
+                   AS n_par
+          FROM t),
+    m AS (SELECT doc_id, w, n_par, k
+          FROM p, UNNEST(range(0, n_par)) AS u(k)
+          WHERE k % 3 = doc_id % 3)
+    SELECT doc_id,
+           'img://' || doc_id::VARCHAR || '/' || k::VARCHAR AS media_ref,
+           (2 * k + 1)::BIGINT AS media_offset,
+           array_to_string(w[k * 10 + 1:k * 10 + 10], ' ')
+             AS text_before,
+           CASE WHEN k + 1 < n_par
+                THEN array_to_string(
+                       w[(k + 1) * 10 + 1:(k + 1) * 10 + 10], ' ')
+                END AS text_after
+    FROM m ORDER BY doc_id, media_offset
+    """,
+)
+def q_media_caption_contexts(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Caption-candidate mining on the interleaved payload: every doc
+    is decomposed into 10-word text paragraphs with one media span
+    planted after paragraph k for each k ≡ doc_id (mod 3); the
+    operator must pair each media span with its true neighbours
+    (previous paragraph / next paragraph, NULL past the last)."""
+    from ..operators.span_extract import media_caption_contexts
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("_w"))
+    n_par = "int(greatest(ceil(size(_w) / 10.0), 1))"
+    spans = F.expr(f"""
+      flatten(transform(sequence(0, {n_par} - 1), k ->
+        if(k % 3 = int(doc_id % 3),
+           array(
+             named_struct('kind', 'text',
+               'text', array_join(slice(_w, k * 10 + 1, 10), ' '),
+               'media_ref', cast(null as string),
+               'offset', 2 * k),
+             named_struct('kind', 'media',
+               'text', cast(null as string),
+               'media_ref', concat('img://', cast(doc_id as string),
+                                   '/', cast(k as string)),
+               'offset', 2 * k + 1)),
+           array(named_struct('kind', 'text',
+               'text', array_join(slice(_w, k * 10 + 1, 10), ' '),
+               'media_ref', cast(null as string),
+               'offset', 2 * k)))))
+    """)
+    built = docs.select("doc_id", spans.alias("spans"))
+    return (
+        media_caption_contexts(built)
+        .select(
+            "doc_id", "media_ref",
+            F.col("media_offset").cast("long").alias("media_offset"),
+            "text_before", "text_after",
+        )
+        .orderBy("doc_id", "media_offset")
+    )

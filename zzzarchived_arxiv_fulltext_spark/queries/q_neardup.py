@@ -368,3 +368,128 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(_docs(spark, sf_dir))
 
 
+
+
+# --------------------------------------------------------------------------
+# exact-substring dedup: duplicated n-gram window coverage
+# --------------------------------------------------------------------------
+
+_DUPWIN_TAIL = (
+    " this shared boilerplate tail sentence plants duplicated windows"
+    " for coverage measurement"
+)
+
+@_register(
+    "duplicated_window_coverage",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 4 = 0
+                          THEN '{_DUPWIN_TAIL}' ELSE '' END AS text
+      FROM documents
+    ),
+    t AS (SELECT doc_id, string_split(text, ' ') AS words FROM d),
+    w AS (
+      SELECT doc_id, pos,
+             array_to_string(words[pos + 1:pos + 5], ' ') AS gram
+      FROM t, UNNEST(range(0, greatest(len(words) - 4, 0))) AS u(pos)
+    ),
+    g AS (SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2),
+    p AS (SELECT w.doc_id, w.pos FROM w JOIN g USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos >= coalesce(
+                    max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), -100000) + 5
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM p
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS isl_id
+      FROM isl
+    ),
+    cov AS (
+      SELECT doc_id, sum(cnt)::BIGINT AS n_dup_windows,
+             sum(mx - mn + 5)::BIGINT AS dup_tokens
+      FROM (SELECT doc_id, isl_id, min(pos) AS mn, max(pos) AS mx,
+                   count(*) AS cnt
+            FROM isl2 GROUP BY doc_id, isl_id)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           greatest(len(words) - 4, 0)::BIGINT AS n_windows,
+           coalesce(n_dup_windows, 0)::BIGINT AS n_dup_windows,
+           coalesce(dup_tokens, 0)::BIGINT AS dup_tokens,
+           round(coalesce(dup_tokens, 0) / len(words), 6) AS dup_fraction
+    FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id
+    """,
+)
+def q_duplicated_window_coverage(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (suffix-array-style duplicated
+    n-token windows, interval-union coverage per doc); a shared tail
+    planted on every 4th doc guarantees cross-doc duplicated windows
+    exist, and natural corpus repeats are measured identically by
+    both engines."""
+    from ..operators.dedup import duplicated_window_coverage
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(_DUPWIN_TAIL)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return duplicated_window_coverage(docs, n=5).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# BPE encode (serve half of bpe_merge_training)
+# --------------------------------------------------------------------------
+
+@_register(
+    "bpe_encode_apply",
+    """
+    WITH d AS (
+      SELECT doc_id, (doc_id % 3 + 2)::INT AS reps,
+             doc_id % 2 = 0 AS tail
+      FROM documents
+    )
+    SELECT doc_id,
+           (4 * reps + CASE WHEN tail THEN 2 ELSE 0 END)::BIGINT
+             AS n_raw_tokens,
+           (2 * reps + CASE WHEN tail THEN 1 ELSE 0 END)::BIGINT
+             AS n_bpe_tokens,
+           rtrim(repeat('pqr s ', reps))
+             || CASE WHEN tail THEN ' pq' ELSE '' END AS encoded
+    FROM d ORDER BY doc_id
+    """,
+)
+def q_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding with a fixed merge table [(p,q), (pq,r)] on a planted
+    closed form: 'p q r s' x reps (+ ' p q' tail on even ids, which
+    exercises the partial second merge and the no-merge-across-
+    occurrence boundary)."""
+    from ..operators.corpus_stats import bpe_encode
+
+    reps = (F.col("doc_id") % 3 + 2).cast("int")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.array_join(F.array_repeat(F.lit("p q r s"), reps), " "),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit(" p q")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = bpe_encode(docs, [("p", "q"), ("pq", "r")])
+    return out.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_raw_tokens"),
+        F.col("n_bpe_tokens"),
+        F.array_join("bpe_tokens", " ").alias("encoded"),
+    ).orderBy("doc_id")

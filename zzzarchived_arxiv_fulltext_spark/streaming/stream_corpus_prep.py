@@ -51,7 +51,15 @@ from ..plans.incremental_dedup import run_dedup_incremental
 from ..sources.tables import SnapshotTable
 
 HASH_SCHEMA = "h string"
-SEEN_SCHEMA = "doc_id long, text string"
+
+
+def _seen_schema(batch_df: DataFrame) -> str:
+    """Seen-table schema with doc_id typed as the STREAM types it —
+    a forced ``doc_id long`` read breaks string-keyed feeds the same
+    way the soak's bucket-index mismatch did (incremental_dedup
+    lesson)."""
+    id_type = batch_df.schema["doc_id"].dataType.simpleString()
+    return f"doc_id {id_type}, text string"
 
 
 def run_streaming_corpus_prep(
@@ -134,7 +142,7 @@ def run_streaming_corpus_prep(
         # excluding this batch's own stamp for the same replay reason
         history_text = (
             seen_table.read_excluding_meta(spark, meta,
-                                           schema=SEEN_SCHEMA)
+                                           schema=_seen_schema(batch_df))
             if seen_table.snapshots()
             else s3.select("doc_id", "text").limit(0)
         )
