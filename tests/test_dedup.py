@@ -262,3 +262,71 @@ def test_duplicated_window_coverage_islands_merge(spark):
            duplicated_window_coverage(df, n=3).collect()}
     assert got["d1"]["n_dup_windows"] == 2   # positions 0 and 7
     assert got["d1"]["dup_tokens"] == 6      # [0,3) ∪ [7,10)
+
+
+# --------------------------------------------------------------------------
+# cut_duplicated_windows (removal half of exact-substring dedup)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cut_corpus(spark):
+    shared = "alpha beta gamma delta epsilon"          # 5 tokens
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight {shared} nine ten"),
+        (3, "totally unique words with no repeats anywhere at all"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_cut_keeps_exactly_one_copy(cut_corpus):
+    from zzzarchived_arxiv_fulltext_spark.operators.dedup import (
+        cut_duplicated_windows,
+    )
+
+    out = {r["doc_id"]: r for r in
+           cut_duplicated_windows(cut_corpus, n=5).collect()}
+    # doc 1 holds the keeper site (smaller doc_id) → untouched
+    assert out[1]["text"] == \
+        "one two three alpha beta gamma delta epsilon four five six"
+    assert out[1]["n_tokens_removed"] == 0
+    # doc 2 loses the duplicated window, keeps its unique tokens
+    assert out[2]["text"] == "seven eight nine ten"
+    assert out[2]["n_tokens_removed"] == 5
+    # untouched doc passes through byte-identical
+    assert out[3]["text"] == \
+        "totally unique words with no repeats anywhere at all"
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[2]["n_tokens"] == 9
+
+
+def test_cut_overlapping_windows_merge(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.dedup import (
+        cut_duplicated_windows,
+    )
+
+    # a 6-token shared run → two overlapping duplicated 5-windows in
+    # each doc; removal must cut the union (6 tokens), not 10
+    run = "p q r s t u"
+    df = spark.createDataFrame(
+        [(1, f"{run} x"), (2, f"y {run}")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           cut_duplicated_windows(df, n=5).collect()}
+    assert out[1]["n_tokens_removed"] == 0          # keeper doc
+    assert out[2]["text"] == "y"
+    assert out[2]["n_tokens_removed"] == 6
+
+
+def test_cut_within_doc_repeat(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.dedup import (
+        cut_duplicated_windows,
+    )
+
+    # the same 5-gram twice INSIDE one doc: first site is keeper,
+    # second is cut
+    df = spark.createDataFrame(
+        [(7, "a b c d e z a b c d e")], ["doc_id", "text"])
+    out = cut_duplicated_windows(df, n=5).collect()[0]
+    assert out["text"] == "a b c d e z"
+    assert out["n_tokens_removed"] == 5

@@ -149,3 +149,66 @@ def test_media_caption_contexts_on_generated_fixture(spark):
         after = next((s["text"] for s in spans[i + 1:]
                       if s["kind"] == "text"), None)
         assert (r["text_before"], r["text_after"]) == (before, after), r
+
+
+def test_drop_boilerplate_media(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.span_extract import (
+        drop_boilerplate_media,
+    )
+
+    def span(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref,
+                "offset": off}
+
+    rows = [
+        # logo appears in all three docs → boilerplate; uniques survive
+        ("d1", [span("text", "a", None, 0),
+                span("media", None, "img://logo", 1),
+                span("media", None, "img://u1", 2)]),
+        ("d2", [span("media", None, "img://logo", 0),
+                span("text", "b", None, 1)]),
+        # logo TWICE in one doc still counts d3 once (distinct docs)
+        ("d3", [span("media", None, "img://logo", 0),
+                span("media", None, "img://logo", 1),
+                span("media", None, "img://u3", 2)]),
+        # media-only doc whose media all drop → empty array kept
+        ("d4", [span("media", None, "img://logo", 0)]),
+    ]
+    schema = ("doc_id string, spans array<struct<kind:string,"
+              "text:string,media_ref:string,offset:int>>")
+    df = spark.createDataFrame(rows, schema)
+    out = {r["doc_id"]: r for r in
+           drop_boilerplate_media(df, min_docs=3).collect()}
+
+    assert [s["media_ref"] for s in out["d1"]["spans"]
+            if s["kind"] == "media"] == ["img://u1"]
+    assert [s["text"] for s in out["d1"]["spans"]
+            if s["kind"] == "text"] == ["a"]
+    assert out["d1"]["n_media_dropped"] == 1
+    assert out["d2"]["n_spans"] == 1 and out["d2"]["n_media_dropped"] == 1
+    # both logo copies in d3 drop; distinct-doc count saw d3 once
+    assert out["d3"]["n_media_dropped"] == 2
+    assert [s["media_ref"] for s in out["d3"]["spans"]] == ["img://u3"]
+    assert out["d4"]["spans"] == [] and out["d4"]["n_spans"] == 0
+    # order preserved by offset after the cut
+    offs = [s["offset"] for s in out["d1"]["spans"]]
+    assert offs == sorted(offs)
+
+
+def test_drop_boilerplate_media_min_docs_threshold(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.span_extract import (
+        drop_boilerplate_media,
+    )
+
+    def span(ref, off):
+        return {"kind": "media", "text": None, "media_ref": ref,
+                "offset": off}
+
+    schema = ("doc_id string, spans array<struct<kind:string,"
+              "text:string,media_ref:string,offset:int>>")
+    df = spark.createDataFrame(
+        [("a", [span("img://pair", 0)]), ("b", [span("img://pair", 0)]),
+         ("c", [span("img://solo", 0)])], schema)
+    out = {r["doc_id"]: r["n_media_dropped"]
+           for r in drop_boilerplate_media(df, min_docs=2).collect()}
+    assert out == {"a": 1, "b": 1, "c": 0}

@@ -517,3 +517,90 @@ def duplicated_window_coverage(df: DataFrame, n: int = 8,
             ).alias("dup_fraction"),
         )
     )
+
+
+def cut_duplicated_windows(df: DataFrame, n: int = 8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (pair to
+    :func:`duplicated_window_coverage`, which only measures): rewrite
+    every document with its duplicated n-token windows cut, keeping
+    exactly one corpus-wide copy of each duplicated gram (the site
+    with the smallest ``doc_id * 1_000_000 + pos`` key — positions are
+    bounded by document length, far below the multiplier).
+
+    A doc's removed token set is the union of [pos, pos+n) over its
+    duplicated NON-keeper sites; keeper sites survive, so shared
+    boilerplate text remains represented once in the corpus (the Lee
+    et al. exact-substring-dedup contract at window granularity).
+    Reference analogue: none — the reference deduped whole documents
+    only (fulltext/store.py).
+
+    Returns (doc_id, text, n_tokens, n_tokens_removed) with ``text``
+    rewritten (tokens joined by single spaces).
+
+    Scale shape: one O(total tokens) explode, a map-side-combinable
+    groupBy(gram) electing keepers via min(site_key), a same-key
+    rejoin, then per-doc index arithmetic on collected INT positions
+    (bounded by doc length — never strings). The rebuild is
+    JVM-only: removed indexes expand via sequence/flatten, the kept
+    index list is one hash-set ``array_except``, and the final
+    projection maps indexes back to tokens. No Python, no
+    driver-side state.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"if(size(_words) >= {n}, "
+        f"transform(sequence(0, size(_words) - {n}), "
+        f"i -> array_join(slice(_words, i + 1, {n}), ' ')), "
+        f"array())"
+    )
+    base = (
+        df.select(F.col(id_col), words.alias("_words"))
+        .select(F.col(id_col), F.col("_words"), grams.alias("_grams"))
+    )
+    sites = (
+        base.select(id_col, F.posexplode("_grams").alias("pos", "gram"))
+        .withColumn(
+            "_site_key",
+            F.col(id_col).cast("long") * 1_000_000 + F.col("pos"))
+    )
+    keepers = (
+        sites.groupBy("gram")
+        .agg(F.count("*").alias("_sites"),
+             F.min("_site_key").alias("_keeper"))
+        .where(F.col("_sites") >= 2)
+        .select("gram", "_keeper")
+    )
+    victims = (
+        sites.join(keepers, on="gram")
+        .where(F.col("_site_key") != F.col("_keeper"))
+        .select(id_col, "pos")
+    )
+    removed = (
+        victims.groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_starts"))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"array_sort(array_distinct(flatten("
+                f"transform(_starts, p -> sequence(p, p + {n} - 1)))))"
+            ).alias("_removed"),
+        )
+    )
+    kept_idx = F.expr(
+        "array_except(sequence(0, size(_words) - 1), "
+        "coalesce(_removed, cast(array() as array<int>)))")
+    return (
+        base.join(removed, on=id_col, how="left")
+        .withColumn("_kept", kept_idx)
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.expr("transform(_kept, i -> element_at(_words, i + 1))"),
+                " ").alias(text_col),
+            F.size("_words").cast("long").alias("n_tokens"),
+            F.coalesce(F.size("_removed"), F.lit(0)).cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )

@@ -324,3 +324,68 @@ def media_caption_contexts(df: DataFrame,
             F.col("_m.text_after").alias("text_after"),
         )
     )
+
+
+def drop_boilerplate_media(df: DataFrame, min_docs: int = 2,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Remove BOILERPLATE media spans from the interleaved span table:
+    a media ref appearing in >= ``min_docs`` DISTINCT documents (site
+    logos, nav icons, tracking pixels) is dropped from every doc's
+    span array; text spans and distinctive media pass through with
+    their offsets intact (reassembly order is preserved — the
+    (kind, text, media_ref, order) invariant never re-numbers).
+
+    The media-span twin of C4 line dedup (`dedup_lines_global`): there
+    the unit is a text line, here it is a media reference, and the
+    "appears in many documents" rule is the same boilerplate signal.
+    Reference analogue: none — the reference dropped media wholesale.
+
+    Returns (doc_id, spans, n_spans, n_media_dropped), one row per
+    input doc (docs whose spans all drop keep an empty array).
+
+    Scale shape: one explode (O(total spans)), a map-side-combinable
+    distinct-doc count per media_ref, a left-anti join on the same
+    ref key (text spans carry NULL refs and never match), then one
+    groupBy to re-collect per-doc arrays. The rebuild shuffle is the
+    honest cost of editing nested arrays corpus-wide; boilerplate
+    counts never sit on the driver.
+    """
+    ex = df.select(F.col(id_col), F.explode("spans").alias("s"))
+    boiler = (
+        ex.where(F.col("s.kind") == "media")
+        .groupBy(F.col("s.media_ref").alias("_ref"))
+        .agg(F.countDistinct(id_col).alias("_docs"))
+        .where(F.col("_docs") >= min_docs)
+        .select("_ref")
+    )
+    kept = ex.join(
+        boiler, ex["s.media_ref"] == boiler["_ref"], "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.expr(
+            "array_sort(collect_list(s), (a, b) -> a.offset - b.offset)"
+        ).alias("spans"))
+    )
+    n_media = F.expr(
+        "size(filter(spans, x -> x.kind = 'media'))")
+    before = df.select(
+        F.col(id_col),
+        F.size("spans").alias("_n_before"),
+        n_media.alias("_m_before"),
+    )
+    return (
+        before.join(rebuilt, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("spans"),
+                F.expr("cast(array() as array<struct<kind:string,"
+                       "text:string,media_ref:string,offset:int>>)"),
+            ).alias("spans"),
+            F.coalesce(F.size("spans"), F.lit(0)).cast("long")
+            .alias("n_spans"),
+            (F.col("_m_before") - F.coalesce(
+                F.expr("size(filter(spans, x -> x.kind = 'media'))"),
+                F.lit(0))).cast("long").alias("n_media_dropped"),
+        )
+    )

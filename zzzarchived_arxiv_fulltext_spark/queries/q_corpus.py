@@ -835,3 +835,77 @@ def q_media_caption_contexts(spark: SparkSession,
         )
         .orderBy("doc_id", "media_offset")
     )
+
+
+@_register(
+    "media_boilerplate_filter",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             greatest(cast(ceil(len(string_split(text, ' ')) / 10.0)
+                           AS BIGINT), 1) AS n_par
+      FROM documents
+    )
+    SELECT doc_id,
+           (n_par + 1)::BIGINT AS n_spans,
+           (1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_media_dropped,
+           'img://' || doc_id::VARCHAR || '/u' AS kept_media_ref,
+           1 AS text_ok
+    FROM t ORDER BY doc_id
+    """,
+)
+def q_media_boilerplate_filter(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Boilerplate-media dedup on the interleaved payload: every doc
+    carries a shared logo ref (corpus-wide boilerplate), every 5th doc
+    one of two group-shared refs (also boilerplate at min_docs=2), and
+    one unique ref that must survive; text spans and their order must
+    pass through untouched."""
+    from ..operators.span_extract import drop_boilerplate_media
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("_w"))
+    n_par = "int(greatest(ceil(size(_w) / 10.0), 1))"
+    spans = F.expr(f"""
+      concat(
+        flatten(transform(sequence(0, {n_par} - 1), k ->
+          array(named_struct('kind', 'text',
+            'text', array_join(slice(_w, k * 10 + 1, 10), ' '),
+            'media_ref', cast(null as string),
+            'offset', 2 * k)))),
+        array(named_struct('kind', 'media',
+            'text', cast(null as string),
+            'media_ref', 'img://logo/site',
+            'offset', 1)),
+        if(doc_id % 5 = 0,
+           array(named_struct('kind', 'media',
+             'text', cast(null as string),
+             'media_ref', concat('img://shared/',
+                                 cast(doc_id % 2 as string)),
+             'offset', 3)),
+           cast(array() as array<struct<kind:string,text:string,
+                                        media_ref:string,offset:int>>)),
+        array(named_struct('kind', 'media',
+            'text', cast(null as string),
+            'media_ref', concat('img://', cast(doc_id as string), '/u'),
+            'offset', 2 * {n_par} + 1)))
+    """)
+    built = docs.select("doc_id", spans.alias("spans"))
+    out = drop_boilerplate_media(built, min_docs=2)
+    texts = F.expr(
+        "transform(filter(spans, s -> s.kind = 'text'), s -> s.text)")
+    media_refs = F.expr(
+        "transform(filter(spans, s -> s.kind = 'media'), s -> s.media_ref)")
+    return (
+        out.join(docs, on="doc_id")
+        .select(
+            "doc_id",
+            F.col("n_spans"),
+            F.col("n_media_dropped"),
+            F.element_at(media_refs, 1).alias("kept_media_ref"),
+            (F.array_join(texts, " ") == F.array_join("_w", " "))
+            .cast("int").alias("text_ok"),
+        )
+        .orderBy("doc_id")
+    )

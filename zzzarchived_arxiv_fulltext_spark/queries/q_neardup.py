@@ -493,3 +493,65 @@ def q_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bpe_tokens"),
         F.array_join("bpe_tokens", " ").alias("encoded"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "exact_substring_cut",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 4 = 0
+                          THEN '{_DUPWIN_TAIL}' ELSE '' END AS text
+      FROM documents
+    ),
+    t AS (SELECT doc_id, string_split(text, ' ') AS words FROM d),
+    w AS (
+      SELECT doc_id, pos,
+             array_to_string(words[pos + 1:pos + 5], ' ') AS gram,
+             doc_id * 1000000 + pos AS site_key
+      FROM t, UNNEST(range(0, greatest(len(words) - 4, 0))) AS u(pos)
+    ),
+    g AS (SELECT gram, min(site_key) AS keeper
+          FROM w GROUP BY gram HAVING count(*) >= 2),
+    v AS (SELECT w.doc_id, w.pos
+          FROM w JOIN g USING (gram) WHERE w.site_key <> g.keeper),
+    r AS (SELECT DISTINCT doc_id, pos + k AS idx
+          FROM v, UNNEST(range(0, 5)) AS u(k)),
+    tok AS (
+      SELECT doc_id, i AS idx, words[i + 1] AS word
+      FROM t, UNNEST(range(0, len(words))) AS u(i)
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.idx, tok.word
+      FROM tok LEFT JOIN r USING (doc_id, idx)
+      WHERE r.idx IS NULL
+    ),
+    c AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS text
+      FROM kept GROUP BY doc_id
+    ),
+    nrem AS (SELECT doc_id, count(*) AS n_removed FROM r GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(c.text, '') AS text,
+           len(t.words)::BIGINT AS n_tokens,
+           coalesce(nrem.n_removed, 0)::BIGINT AS n_tokens_removed
+    FROM t LEFT JOIN c USING (doc_id) LEFT JOIN nrem USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal half of exact-substring dedup: duplicated 5-token
+    windows are cut everywhere except the corpus-wide keeper site
+    (min doc_id*1e6+pos); the planted shared tail on every 4th doc
+    guarantees real cross-doc duplication, and natural corpus repeats
+    are resolved identically by both engines."""
+    from ..operators.dedup import cut_duplicated_windows
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(_DUPWIN_TAIL)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return cut_duplicated_windows(docs, n=5).orderBy("doc_id")
