@@ -212,3 +212,68 @@ def test_drop_boilerplate_media_min_docs_threshold(spark):
     out = {r["doc_id"]: r["n_media_dropped"]
            for r in drop_boilerplate_media(df, min_docs=2).collect()}
     assert out == {"a": 1, "b": 1, "c": 0}
+
+
+def test_span_extraction_diff(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.span_extract import (
+        span_extraction_diff,
+    )
+
+    def span(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref,
+                "offset": off}
+
+    schema = ("doc_id string, spans array<struct<kind:string,"
+              "text:string,media_ref:string,offset:int>>")
+    old = spark.createDataFrame([
+        # unchanged (offsets renumbered — must NOT count as a change)
+        ("same", [span("text", "a", None, 0),
+                  span("media", None, "m1", 1)]),
+        # changed: second text span rewritten
+        ("chg", [span("text", "a", None, 0),
+                 span("text", "b", None, 1),
+                 span("media", None, "m2", 2)]),
+        # removed doc
+        ("gone", [span("text", "x", None, 0)]),
+        # duplicate spans: old has the same text twice, new once
+        ("dup", [span("text", "t", None, 0),
+                 span("text", "t", None, 1)]),
+    ], schema)
+    new = spark.createDataFrame([
+        ("same", [span("text", "a", None, 10),
+                  span("media", None, "m1", 20)]),
+        ("chg", [span("text", "a", None, 0),
+                 span("text", "B", None, 1),
+                 span("media", None, "m2", 2)]),
+        ("dup", [span("text", "t", None, 0)]),
+        # added doc
+        ("new", [span("media", None, "m9", 0)]),
+    ], schema)
+
+    out = {r["doc_id"]: r for r in
+           span_extraction_diff(old, new).collect()}
+
+    assert out["same"]["status"] == "unchanged"
+    assert out["same"]["common_prefix"] == 2
+    assert not out["same"]["text_changed"]
+    assert out["same"]["n_added"] == 0 and out["same"]["n_removed"] == 0
+
+    assert out["chg"]["status"] == "changed"
+    assert out["chg"]["common_prefix"] == 1      # diverges at span 2
+    assert out["chg"]["text_changed"]
+    # multiset: 'a' + media survive, 'b' removed, 'B' added
+    assert out["chg"]["n_common"] == 2
+    assert out["chg"]["n_added"] == 1 and out["chg"]["n_removed"] == 1
+
+    assert out["gone"]["status"] == "only_old"
+    assert out["gone"]["n_spans_new"] == 0
+    assert out["gone"]["n_removed"] == 1 and out["gone"]["n_common"] == 0
+
+    assert out["new"]["status"] == "only_new"
+    assert out["new"]["n_added"] == 1 and out["new"]["n_spans_old"] == 0
+
+    # duplicate handling: multiset intersection counts ONE shared 't'
+    assert out["dup"]["status"] == "changed"
+    assert out["dup"]["n_common"] == 1
+    assert out["dup"]["n_removed"] == 1 and out["dup"]["n_added"] == 0
+    assert out["dup"]["common_prefix"] == 1

@@ -389,3 +389,119 @@ def drop_boilerplate_media(df: DataFrame, min_docs: int = 2,
                 F.lit(0))).cast("long").alias("n_media_dropped"),
         )
     )
+
+
+def span_extraction_diff(old: DataFrame, new: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-document diff between two extraction snapshots (the J4
+    re-extraction monitor): after a forced re-extraction or an
+    extractor upgrade, quantify what actually changed BEFORE swapping
+    the serving table.
+
+    Spans compare on (kind, text, media_ref) under the reassembly
+    order (offset-sorted); offsets themselves are excluded — a
+    re-extraction may renumber them without changing content, and the
+    (kind, text, media_ref, order) invariant is exactly what the
+    north rule pins.
+
+    Returns one row per doc_id present in either snapshot:
+    status ('unchanged' | 'changed' | 'only_old' | 'only_new'),
+    n_spans_old, n_spans_new, common_prefix (spans identical in order
+    until first divergence), n_common (multiset intersection),
+    n_added, n_removed, text_changed (concatenated text spans differ).
+
+    Scale shape: one doc-level full-outer join on id for the
+    order-sensitive stats (arrays never explode for prefix/hash — a
+    zip_with + array_position does it in one JVM projection), plus one
+    exploded multiset join keyed (id, span_key, occurrence) for the
+    add/remove counts — occurrence indexes come from a window
+    partitioned by (id, key), bounded by per-doc span count, so no
+    global skew key exists. Reference analogue: none — the reference
+    re-extracted blindly (fulltext/extract.py force path).
+    """
+    def canon(df):
+        sorted_spans = F.expr(
+            "array_sort(spans, (a, b) -> a.offset - b.offset)")
+        key_arr = F.expr(
+            "transform(_sorted, s -> concat_ws('|', s.kind, "
+            "coalesce(md5(s.text), ''), coalesce(s.media_ref, '')))")
+        text_cat = F.expr(
+            "array_join(transform(filter(_sorted, s -> s.kind = 'text'),"
+            " s -> s.text), '\\n')")
+        return (
+            df.select(F.col(id_col), sorted_spans.alias("_sorted"))
+            .select(
+                F.col(id_col),
+                key_arr.alias("_keys"),
+                F.md5(text_cat).alias("_text_md5"),
+                F.size("_sorted").alias("_n"),
+            )
+        )
+
+    o, n = canon(old).alias("o"), canon(new).alias("n")
+    # order-sensitive: common prefix of the two key sequences.
+    # zip_with pads the shorter side with NULL, so a false appears at
+    # the first divergence OR at the length cliff; no false → equal
+    # (array_position returns 0, not NULL, on no-match — nullif it so
+    # the coalesce falls through to the full zip length).
+    prefix = F.coalesce(
+        F.expr("nullif(array_position(zip_with(o._keys, n._keys, "
+               "(a, b) -> a <=> b), false), 0)").cast("long") - 1,
+        F.expr("size(zip_with(o._keys, n._keys, (a, b) -> a <=> b))")
+        .cast("long"),
+    )
+    doc_level = (
+        o.join(n, F.col(f"o.{id_col}") == F.col(f"n.{id_col}"), "full_outer")
+        .select(
+            F.coalesce(F.col(f"o.{id_col}"), F.col(f"n.{id_col}"))
+            .alias(id_col),
+            F.when(F.col(f"n.{id_col}").isNull(), F.lit("only_old"))
+            .when(F.col(f"o.{id_col}").isNull(), F.lit("only_new"))
+            .when((F.col("o._keys") == F.col("n._keys")),
+                  F.lit("unchanged"))
+            .otherwise(F.lit("changed")).alias("status"),
+            F.coalesce(F.col("o._n"), F.lit(0)).cast("long")
+            .alias("n_spans_old"),
+            F.coalesce(F.col("n._n"), F.lit(0)).cast("long")
+            .alias("n_spans_new"),
+            F.when(F.col(f"o.{id_col}").isNull()
+                   | F.col(f"n.{id_col}").isNull(), F.lit(0))
+            .otherwise(F.greatest(prefix, F.lit(0))).cast("long")
+            .alias("common_prefix"),
+            (~F.col("o._text_md5").eqNullSafe(F.col("n._text_md5")))
+            .alias("text_changed"),
+        )
+    )
+
+    # order-insensitive multiset intersection: explode each side to
+    # (id, key, occurrence) and inner-join; occurrence disambiguates
+    # repeated identical spans within one doc.
+    from pyspark.sql import Window
+
+    def occs(df):
+        ex = canon(df).select(
+            F.col(id_col), F.posexplode("_keys").alias("_pos", "_key"))
+        w = Window.partitionBy(id_col, "_key").orderBy("_pos")
+        return (ex.withColumn("_occ", F.row_number().over(w))
+                .drop("_pos"))
+
+    common = (
+        occs(old).join(occs(new),
+                       on=[id_col, "_key", "_occ"], how="inner")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        doc_level.join(common, on=id_col, how="left")
+        .select(
+            id_col, "status", "n_spans_old", "n_spans_new",
+            "common_prefix",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            (F.col("n_spans_new")
+             - F.coalesce(F.col("n_common"), F.lit(0))).alias("n_added"),
+            (F.col("n_spans_old")
+             - F.coalesce(F.col("n_common"), F.lit(0))).alias("n_removed"),
+            F.coalesce(F.col("text_changed"), F.lit(True))
+            .alias("text_changed"),
+        )
+    )

@@ -96,12 +96,16 @@ def run_dedup_incremental(
     def _already_committed(table: SnapshotTable) -> bool:
         return bool(commit_meta) and table.has_meta(commit_meta)
 
+    # ONE shingle+sign pass over the delta text, materialized: sigs is
+    # tiny (num_hashes cols per doc) but multiple consumers hang off
+    # it (bucket rows, the intra self-join) — without the checkpoint
+    # each consumer re-shingles and re-signs the whole delta.
     shingled_delta = word_shingles(delta, n=n, text_col=text_col,
                                    id_col=id_col)
-    sigs = minhash_signatures(shingled_delta, num_hashes=num_hashes)
+    sigs = minhash_signatures(
+        shingled_delta, num_hashes=num_hashes).localCheckpoint(eager=True)
     rows_per_band = num_hashes // bands
     delta_buckets = _band_buckets(sigs, bands, rows_per_band)
-    delta_buckets = delta_buckets.localCheckpoint(eager=True)
 
     # delta x delta candidates (the standard capped self-join)
     intra = lsh_candidate_pairs(sigs, bands=bands,
@@ -132,9 +136,16 @@ def run_dedup_incremental(
         candidates = intra.unionByName(cross).distinct()
     else:
         candidates = intra
+    # candidates feed BOTH the id-set for bounded re-shingling and the
+    # final exact-Jaccard join; materialize once (bounded by candidate
+    # count) instead of re-running the LSH joins per consumer.
+    candidates = candidates.localCheckpoint(eager=True)
 
-    # exact verify: shingle ONLY candidate docs (delta rows we already
-    # have; historical rows come from a semi-join against the corpus)
+    # exact verify: shingle ONLY candidate docs — the delta side is
+    # semi-joined down to candidate ids BEFORE word_shingles (a join
+    # can't be pushed below the shingle explode, so filtering first is
+    # the only way the verify pass stays candidate-bounded), and
+    # historical rows come from a semi-join against the corpus.
     cand_ids = (
         candidates.select(F.col("id_a").alias("id"))
         .unionByName(candidates.select(F.col("id_b").alias("id")))
@@ -146,10 +157,15 @@ def run_dedup_incremental(
         corpus.select(F.col(id_col).alias("id"), F.col(text_col))
         .join(hist_ids, on="id", how="left_semi")
     )
+    delta_cand_docs = delta.join(
+        cand_ids.withColumnRenamed("id", id_col),
+        on=id_col, how="left_semi")
+    shingled_delta_cand = word_shingles(
+        delta_cand_docs, n=n, text_col=text_col, id_col=id_col)
     shingled_hist = word_shingles(
         hist_docs.withColumnRenamed("id", id_col),
         n=n, text_col=text_col, id_col=id_col)
-    shingled_all = shingled_delta.unionByName(shingled_hist)
+    shingled_all = shingled_delta_cand.unionByName(shingled_hist)
 
     verified = exact_jaccard(shingled_all, candidates).where(
         F.col("jaccard") >= threshold)

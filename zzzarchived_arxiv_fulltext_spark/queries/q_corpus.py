@@ -909,3 +909,99 @@ def q_media_boilerplate_filter(spark: SparkSession,
         )
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "span_extraction_diff",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             greatest(cast(ceil(len(string_split(text, ' ')) / 10.0)
+                           AS BIGINT), 1) AS n_par,
+             doc_id % 11 = 0 AS only_old,
+             doc_id % 11 <> 0 AND doc_id % 13 = 0 AS only_new,
+             doc_id % 3 = 0 AS m3,
+             doc_id % 5 = 0 AS m5
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN only_old THEN 'only_old'
+                WHEN only_new THEN 'only_new'
+                WHEN m3 OR m5 THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CASE WHEN only_new THEN 0 ELSE n_par + 1 END AS n_spans_old,
+           CASE WHEN only_old THEN 0
+                ELSE n_par + 1 - CASE WHEN m5 THEN 1 ELSE 0 END
+             END AS n_spans_new,
+           CASE WHEN only_old OR only_new THEN 0
+                WHEN m3 THEN 0
+                WHEN m5 THEN n_par
+                ELSE n_par + 1 END AS common_prefix,
+           CASE WHEN only_old OR only_new THEN 0
+                ELSE n_par + 1 - CASE WHEN m3 THEN 1 ELSE 0 END
+                             - CASE WHEN m5 THEN 1 ELSE 0 END
+             END AS n_common,
+           CASE WHEN only_old THEN 0
+                WHEN only_new THEN
+                  n_par + 1 - CASE WHEN m5 THEN 1 ELSE 0 END
+                WHEN m3 THEN 1 ELSE 0 END AS n_added,
+           CASE WHEN only_new THEN 0
+                WHEN only_old THEN n_par + 1
+                ELSE CASE WHEN m3 THEN 1 ELSE 0 END
+                     + CASE WHEN m5 THEN 1 ELSE 0 END
+             END AS n_removed,
+           CASE WHEN only_old OR only_new OR m3 THEN 1 ELSE 0 END
+             AS text_changed
+    FROM t ORDER BY doc_id
+    """,
+)
+def q_span_extraction_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-extraction diff monitor on planted snapshot pairs: every doc
+    becomes chunked text spans (index-prefixed, so chunks are unique
+    within a doc) + one trailing media span; the 'new' snapshot
+    mutates the first chunk on every 3rd doc, drops the media span on
+    every 5th, omits every 11th (only_old) and the 'old' snapshot
+    omits every 13th (only_new). Offsets in 'new' are shifted to prove
+    renumbering alone never reads as a change."""
+    from ..operators.span_extract import span_extraction_diff
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("_w"))
+    n_par = "int(greatest(ceil(size(_w) / 10.0), 1))"
+
+    def spans(mutate_first: str, drop_media: str, off_shift: int):
+        return F.expr(f"""
+          concat(
+            flatten(transform(sequence(0, {n_par} - 1), k ->
+              array(named_struct('kind', 'text',
+                'text', concat(cast(k as string), ':',
+                  array_join(slice(_w, k * 10 + 1, 10), ' '),
+                  if(k = 0 and {mutate_first}, ' XQZ', '')),
+                'media_ref', cast(null as string),
+                'offset', k + {off_shift})))),
+            if({drop_media},
+               cast(array() as array<struct<kind:string,text:string,
+                                            media_ref:string,offset:int>>),
+               array(named_struct('kind', 'media',
+                 'text', cast(null as string),
+                 'media_ref', concat('img://', cast(doc_id as string)),
+                 'offset', {n_par} + {off_shift}))))
+        """)
+
+    old = (docs.where((F.col("doc_id") % 11 == 0)
+                      | (F.col("doc_id") % 13 != 0))
+           .select("doc_id",
+                   spans("false", "false", 0).alias("spans")))
+    new = (docs.where(F.col("doc_id") % 11 != 0)
+           .select("doc_id",
+                   spans("doc_id % 3 = 0", "doc_id % 5 = 0", 100)
+                   .alias("spans")))
+    return (
+        span_extraction_diff(old, new)
+        .select(
+            "doc_id", "status", "n_spans_old", "n_spans_new",
+            "common_prefix", "n_common", "n_added", "n_removed",
+            F.col("text_changed").cast("int").alias("text_changed"),
+        )
+        .orderBy("doc_id")
+    )

@@ -684,3 +684,98 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# Reference-entry extraction + citation edges (operators/references.py)
+# --------------------------------------------------------------------------
+
+_REFS_CITED = (
+    "lpad(cast((doc_id + i) % 2400 as string), 4, '0') || '.' || "
+    "lpad(cast((doc_id * 7 + i) % 10000 as string), 4, '0')"
+)
+
+
+def _planted_refs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with a planted trailing References block: body chunked
+    into 10-word lines (so the psv 50% guard never trips), heading,
+    then 1 + doc_id % 3 numbered entries each citing a closed-form
+    arXiv id. Docs under 4 body lines stay untouched (no block)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text"), F.split("text", " ").alias("_w"))
+    n_par = "int(greatest(ceil(size(_w) / 10.0), 1))"
+    planted = F.expr(f"""
+      if({n_par} >= 4,
+        concat(
+          array_join(transform(sequence(0, {n_par} - 1), k ->
+            array_join(slice(_w, k * 10 + 1, 10), ' ')), '\\n'),
+          '\\nReferences\\n',
+          array_join(transform(sequence(1, 1 + cast(doc_id % 3 as int)),
+            i -> concat('[', cast(i as string), '] Ref ',
+                        cast(i as string), ' of doc ',
+                        cast(doc_id as string), ' arXiv:',
+                        {_REFS_CITED})), '\\n')),
+        text)
+    """)
+    return docs.select("doc_id", planted.alias("text"))
+
+
+_REFS_CITED_SQL = (
+    "lpad(((doc_id + i) % 2400)::VARCHAR, 4, '0') || '.' || "
+    "lpad(((doc_id * 7 + i) % 10000)::VARCHAR, 4, '0')"
+)
+
+_REFS_ELIGIBLE_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             greatest(cast(ceil(len(string_split(text, ' ')) / 10.0)
+                           AS BIGINT), 1) AS n_par
+      FROM documents
+    ),
+    e AS (SELECT doc_id, 1 + doc_id % 3 AS k FROM t WHERE n_par >= 4)
+"""
+
+
+@_register(
+    "reference_entries",
+    _REFS_ELIGIBLE_SQL + f"""
+    SELECT doc_id, i::INT AS ref_idx,
+           'Ref ' || i || ' of doc ' || doc_id || ' arXiv:'
+             || {_REFS_CITED_SQL} AS ref_text
+    FROM e, UNNEST(range(1, k + 1)) AS u(i)
+    ORDER BY doc_id, ref_idx
+    """,
+)
+def q_reference_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-References-block entry extraction through the real
+    line-scan/heading-election/marker-split operator; the planted
+    block is closed-form so both engines must recover identical
+    (doc_id, ref_idx, ref_text) rows, and short docs prove the
+    no-block path emits nothing."""
+    from ..operators.references import reference_entries
+
+    return (
+        reference_entries(_planted_refs_docs(spark, sf_dir))
+        .orderBy("doc_id", "ref_idx")
+    )
+
+
+@_register(
+    "citation_edges",
+    _REFS_ELIGIBLE_SQL + f"""
+    SELECT doc_id AS src_doc_id,
+           {_REFS_CITED_SQL} AS cited_arxiv_id
+    FROM e, UNNEST(range(1, k + 1)) AS u(i)
+    ORDER BY src_doc_id, cited_arxiv_id
+    """,
+)
+def q_citation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arXiv-id citation-edge mining from the planted reference
+    blocks: one regexp pass over the full text; distinct (src, cited)
+    pairs match the closed-form plant."""
+    from ..operators.references import citation_edges
+
+    return (
+        citation_edges(_planted_refs_docs(spark, sf_dir))
+        .orderBy("src_doc_id", "cited_arxiv_id")
+    )
