@@ -178,3 +178,35 @@ def test_incremental_string_ids_with_commit_meta(spark, tmp_path):
         spark, w2s, corpus=full, bucket_table=buckets,
         threshold=0.5, commit_meta={"wave": 1}))
     assert ("doc-0002", "doc-0010", 1.0) in inc2
+
+
+def test_cross_join_hot_bucket_cap(spark, tmp_path):
+    """The delta x committed-index join must honor max_bucket_size:
+    a (band, bucket) hot on the HISTORY side is excluded from
+    candidate generation (the sf1 soak disk-fill), while normal
+    buckets keep matching; cap=None restores the exhaustive join."""
+    boiler = "common boilerplate words repeated across the whole fleet"
+    hist = spark.createDataFrame(
+        [(i, boiler) for i in range(6)] + [(100, _text(1))],
+        "doc_id long, text string")
+    buckets = SnapshotTable(str(tmp_path / "buckets"))
+    run_dedup_incremental(spark, hist, corpus=hist, bucket_table=buckets,
+                          max_bucket_size=None)
+
+    corpus = hist.unionByName(spark.createDataFrame(
+        [(200, boiler), (201, _text(1))], "doc_id long, text string"))
+    delta = corpus.where("doc_id >= 200")
+
+    # capped: the boilerplate bucket (6 history docs > cap 2) is
+    # dropped, so 200 pairs with nothing; 201 still matches 100.
+    capped = _pairs(run_dedup_incremental(
+        spark, delta, corpus=corpus, bucket_table=buckets,
+        max_bucket_size=2, commit_meta={"w": "capped"}))
+    assert capped == {(100, 201, 1.0)}
+
+    # uncapped: 200 matches all six boilerplate docs.
+    full = _pairs(run_dedup_incremental(
+        spark, delta, corpus=corpus, bucket_table=buckets,
+        max_bucket_size=None, commit_meta={"w": "full"}))
+    assert {(i, 200, 1.0) for i in range(6)} <= full
+    assert (100, 201, 1.0) in full

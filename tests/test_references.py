@@ -71,3 +71,38 @@ def test_citation_edges_distinct(spark):
         ["doc_id", "text"])
     out = citation_edges(df).collect()
     assert len(out) == 1 and out[0]["cited_arxiv_id"] == "2101.00001"
+
+
+def test_section_segments(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.references import (
+        section_segments,
+    )
+
+    rows = [
+        # preamble + two sections, one sub-numbered, one trailing-dot
+        (0, "Title line here\nabstract text\n"
+            "1 Introduction\nbody a b\nbody c\n"
+            "2.1 Methods Details\nonly line\n"
+            "3. Results\n"),
+        # no headings at all -> single preamble row
+        (1, "just two\nplain lines"),
+        # heading on line 1 -> no preamble row
+        (2, "1 First\nx y\n2 Second\nz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        ((r["doc_id"], r["sec_idx"], r["heading"], r["n_lines"],
+          r["n_words"]) for r in section_segments(df).collect())
+    )
+
+    assert out == sorted([
+        (0, 0, "", 2, 5),                       # preamble
+        (0, 1, "1 Introduction", 2, 5),
+        (0, 2, "2.1 Methods Details", 1, 2),
+        # trailing-dot heading, empty body (the final "\n" makes one
+        # empty line after it)
+        (0, 3, "3. Results", 1, 0),
+        (1, 0, "", 2, 4),
+        (2, 1, "1 First", 1, 2),
+        (2, 2, "2 Second", 1, 1),
+    ])

@@ -382,3 +382,36 @@ def test_mixture_weights_validates_targets(spark):
         mixture_weights(df, {})
     with pytest.raises(ValueError):
         mixture_weights(df, {"en": 0.0})
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string")
+    # two planted clusters: {3, 17, 29} (a chain, exercising >1
+    # propagation round) and {5, 11}
+    pairs = spark.createDataFrame(
+        [(3, 17), (17, 29), (5, 11)], "id_a long, id_b long")
+    weights = {"train": 0.6, "val": 0.2, "test": 0.2}
+
+    out = {r["doc_id"]: r for r in
+           leakage_safe_split(docs, pairs, weights).collect()}
+
+    assert out[3]["cluster"] == out[17]["cluster"] == out[29]["cluster"] == 3
+    assert out[3]["split"] == out[17]["split"] == out[29]["split"]
+    assert out[5]["cluster"] == out[11]["cluster"] == 5
+    assert out[5]["split"] == out[11]["split"]
+
+    # singletons are bit-identical to plain hash_split
+    plain = {r["doc_id"]: r["split"]
+             for r in hash_split(docs, weights).collect()}
+    clustered = {3, 17, 29, 5, 11}
+    for i in range(40):
+        assert out[i]["cluster"] == (out[i]["cluster"] if i in clustered
+                                     else i)
+        if i not in clustered:
+            assert out[i]["split"] == plain[i], i

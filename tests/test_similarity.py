@@ -126,3 +126,33 @@ def test_quantize_with_training_scales_is_delta_compatible(spark):
     a = quantize_embeddings(delta, scales=scales, dim=4).collect()[0]
     b = quantize_embeddings(delta, scales=scales, dim=4).collect()[0]
     assert a["qvec"] == b["qvec"]  # same training scales → same codes
+
+
+def test_assign_nearest_centroid_parity_and_ties(spark):
+    import numpy as np
+
+    from zzzarchived_arxiv_fulltext_spark.operators.similarity import (
+        _nearest_centroid_udf,
+        assign_nearest_centroid,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(200)]
+    cents = [[float(x) for x in rng.randn(16)] for _ in range(5)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    jvm = {r["vec_id"]: r["centroid_id"]
+           for r in assign_nearest_centroid(df, cents).collect()}
+    udf = _nearest_centroid_udf(cents)
+    prod = {r["vec_id"]: r["cid"] for r in
+            df.select("vec_id", udf("embedding").alias("cid")).collect()}
+    assert jvm == prod
+
+    # exact tie (equidistant vector) -> lowest centroid id, both paths
+    tie = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "vec_id long, embedding array<float>")
+    tc = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    assert assign_nearest_centroid(tie, tc).collect()[0]["centroid_id"] == 0
+    assert tie.select(_nearest_centroid_udf(tc)("embedding")
+                      .alias("c")).collect()[0]["c"] == 0

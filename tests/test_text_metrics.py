@@ -263,3 +263,42 @@ def test_script_profile_null_text_is_none(spark):
     got = {r["id"]: r for r in script_profile(df).collect()}
     assert got[1]["dominant_script"] == "none"
     assert got[1]["n_latin"] == 0 and got[1]["n_other"] == 0
+
+
+def test_latex_math_stats(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.text_metrics import (
+        latex_math_stats,
+    )
+
+    rows = [
+        (0, "plain prose only"),
+        # 2 inline, 1 bare command
+        (1, r"let $x$ and $y_i$ be \alpha values"),
+        # display env (2 commands) + $$ block; $$ body must NOT count
+        # as inline
+        (2, r"\begin{equation} E=mc^2 \end{equation} then $$a+b$$"),
+        # inline adjacent to display dollars
+        (3, "$u$ $$vv$$ $w$"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in latex_math_stats(df).collect()}
+
+    assert (out[0]["n_inline"], out[0]["n_display"],
+            out[0]["n_commands"]) == (0, 0, 0)
+    assert out[0]["math_char_fraction"] == 0.0
+
+    assert out[1]["n_inline"] == 2
+    assert out[1]["n_display"] == 0
+    assert out[1]["n_commands"] == 1
+    # spans: "$x$" (3) + "$y_i$" (5) over 36 chars
+    t1 = rows[1][1]
+    assert out[1]["math_char_fraction"] == round(8 / len(t1), 6)
+
+    assert out[2]["n_inline"] == 0
+    assert out[2]["n_display"] == 2          # env + $$ block
+    assert out[2]["n_commands"] == 2         # \begin + \end
+
+    assert out[3]["n_inline"] == 2           # $u$, $w$
+    assert out[3]["n_display"] == 1
+    # spans: 3 + 3 inline + 6 display over the full string
+    assert out[3]["math_char_fraction"] == round(12 / len(rows[3][1]), 6)

@@ -107,3 +107,70 @@ def citation_edges(df: DataFrame, text_col: str = "text",
                   F.explode(ids).alias("cited_arxiv_id"))
         .distinct()
     )
+
+
+# Numbered section heading: "1 Introduction", "2.3 Results", "4. Discussion".
+_SECTION_RE = r"^[0-9]+(\.[0-9]+)*\.?\s+\S.*$"
+
+
+def section_segments(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sec_idx, heading, n_lines, n_words): the document cut
+    at numbered section headings (the arXiv house style — ``1
+    Introduction``, ``2.3 Results``, ``4. Discussion``).
+
+    ``sec_idx`` 0 is the preamble (title/abstract text before the
+    first heading; emitted only when non-empty, with heading ``''``),
+    then one row per heading in document order: ``heading`` is the
+    trimmed heading line, ``n_lines``/``n_words`` count the section
+    BODY (heading line excluded; words are whitespace tokens). A
+    document with no headings yields a single preamble row covering
+    everything — every doc produces >= 1 row.
+
+    Complements ``reference_entries``: that mines the bibliography
+    tail, this maps the body structure (per-section length profiles
+    feed quality gates — e.g. missing-introduction or
+    acknowledgments-only extractions).
+
+    Scale shape: one projection builds lines -> heading cut indexes ->
+    per-section (start, end) structs, then a single explode; counting
+    is slice + aggregate inside the same projection. No shuffle, no
+    Python.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(F.col(id_col), lines.alias("_lines"))
+    sec_re = _SECTION_RE.replace("\\", "\\\\")
+    # 1-based indexes of heading lines, in order
+    cuts = F.expr(
+        f"filter(transform(sequence(1, size(_lines)), i -> "
+        f"if(element_at(_lines, i) rlike '{sec_re}', i, 0)), "
+        f"i -> i > 0)")
+    # struct per section: (sec_idx, heading_line_idx, body_start, body_end)
+    segs = F.expr(
+        "transform(sequence(0, size(_cuts)), j -> named_struct("
+        "  'sec_idx', j,"
+        "  'hline', if(j = 0, 0, element_at(_cuts, j)),"
+        "  'start', if(j = 0, 1, element_at(_cuts, j) + 1),"
+        "  'end', if(j = size(_cuts), size(_lines),"
+        "            element_at(_cuts, j + 1) - 1)))")
+    body_words = F.expr(
+        "aggregate(transform(slice(_lines, _s.start, "
+        "greatest(_s.end - _s.start + 1, 0)), l -> "
+        "size(filter(split(trim(l), '\\\\s+'), w -> w != ''))), "
+        "0, (acc, x) -> acc + x)")
+    return (
+        base.withColumn("_cuts", cuts)
+        .select(F.col(id_col), "_lines", F.explode(segs).alias("_s"))
+        # drop an empty preamble (doc starts at a heading)
+        .where(~((F.col("_s.sec_idx") == 0) & (F.col("_s.end") < 1)))
+        .select(
+            F.col(id_col),
+            F.col("_s.sec_idx").cast("int").alias("sec_idx"),
+            F.when(F.col("_s.hline") == 0, F.lit(""))
+            .otherwise(F.trim(F.element_at("_lines", F.col("_s.hline"))))
+            .alias("heading"),
+            F.greatest(F.col("_s.end") - F.col("_s.start") + 1, F.lit(0))
+            .cast("long").alias("n_lines"),
+            body_words.cast("long").alias("n_words"),
+        )
+    )

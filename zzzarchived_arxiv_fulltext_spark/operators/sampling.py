@@ -501,3 +501,52 @@ def mixture_weights(
                 "target_share", "weight")
         .orderBy("stratum")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: Dict[str, float],
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    buckets: int = HASH_BUCKETS,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Train/val/test split that never puts two (near-)duplicates in
+    different splits: documents are first grouped into duplicate
+    clusters (connected components of ``pairs``), then the WHOLE
+    cluster is assigned by the hash bucket of its canonical (min) id.
+
+    A plain per-document ``hash_split`` leaks evaluation data
+    whenever a near-duplicate of a test document survives in train —
+    the classic benchmark-contamination path *within* a corpus. Keying
+    the split on the cluster label closes it: every member shares the
+    label, so every member shares the split.
+
+    ``pairs`` is any (id_a, id_b) duplicate-pair frame (e.g. from
+    ``plans.dedup_job.duplicate_pairs``); documents with no pair form
+    singleton clusters keyed by their own id — for them the output is
+    bit-identical to ``hash_split``, so turning leakage safety on
+    never reshuffles the un-duplicated majority of the corpus.
+
+    Scale shape: the component fixpoint is the all-DataFrame label
+    propagation from ``connected_keep_list`` (converges in
+    O(cluster diameter) rounds, bounded pair degree, localCheckpoint
+    per round); the split itself stays a pure JVM projection of the
+    cluster label. Returns ``df`` + (cluster, split) columns.
+    """
+    from ..plans.dedup_job import connected_keep_list
+
+    labels = connected_keep_list(
+        pairs, df, id_col=id_col, max_iterations=max_iterations
+    ).select(F.col("id").alias(id_col), "cluster")
+    clustered = (
+        df.join(labels, on=id_col, how="left")
+        .withColumn("cluster", F.coalesce("cluster", F.col(id_col)))
+    )
+    bucket = hash_bucket(F.col("cluster"), buckets)
+    bounds = split_boundaries(weights, buckets)
+    expr = F.lit(bounds[-1][0])
+    for name, upper in reversed(bounds[:-1]):
+        expr = F.when(bucket < upper, F.lit(name)).otherwise(expr)
+    return clustered.withColumn(split_col, expr)

@@ -422,3 +422,47 @@ def quantize_embeddings(df: DataFrame, scales=None,
         q.alias("qvec"),
         F.round(rmse, 9).alias("rmse"),
     )
+
+
+def assign_nearest_centroid(df: DataFrame, centroids,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            dist_col: str = "dist_sq") -> DataFrame:
+    """(id, centroid_id, dist_sq): exact nearest centroid per vector —
+    the k-means assignment step as a pure JVM projection.
+
+    ``centroids`` is a k×dim list of lists (the bounded-metadata
+    contract of ``train_ivf_centroids`` / ``plans.ivf_index``). The
+    centroid table is inlined as an array literal, so assignment is a
+    single whole-stage-codegen projection: per row, one
+    transform/zip_with/aggregate pass computes all k squared L2
+    distances in DOUBLE left-to-right array order (deterministic
+    bits), argmin = first position of the min (ties break to the
+    lowest centroid id, matching ``_nearest_centroid_udf``'s numpy
+    argmin). No shuffle, no Python, no join — the scan streams
+    through codegen at any corpus size; k×dim only widens the
+    projected expression, and stays bounded by the same metadata
+    contract that bounds driver memory in training.
+
+    For k beyond a few hundred (expression-size limits), route
+    through ``_nearest_centroid_udf`` instead — same semantics, one
+    matmul per Arrow batch; a pytest pins the parity.
+    """
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    cent = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.transform(
+        cent,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x),
+    )
+    return df.select(
+        F.col(id_col),
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int").alias("centroid_id"),
+        F.array_min(dists).alias(dist_col),
+    )

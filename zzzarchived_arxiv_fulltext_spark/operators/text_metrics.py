@@ -490,3 +490,64 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
         "id", F.col("c.n_bytes").alias("n_bytes"),
         F.col("c.n_compressed").alias("n_compressed"),
         F.col("c.ratio").alias("compression_ratio"))
+
+
+def latex_math_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document LaTeX/math markup profile — the arXiv-corpus
+    quality signal: extracted scientific text keeps math remnants
+    (``$x$`` inline spans, ``\\begin{equation}`` display blocks, bare
+    ``\\commands``), and their density decides whether a document is
+    prose, math-heavy prose, or an extraction failure (formula soup).
+
+    Counted per document, all JVM ``regexp_count`` projections:
+
+    - ``n_inline``: ``$...$`` inline-math spans (non-``$`` body);
+      ``$$`` display delimiters never match (empty body excluded).
+    - ``n_display``: display-math environments
+      (``\\begin{equation|align|eqnarray|displaymath}``, star forms)
+      plus ``$$...$$`` blocks.
+    - ``n_commands``: every ``\\word`` control sequence anywhere
+      (including inside math — the raw markup burden).
+    - ``math_char_fraction``: chars inside dollar-delimited spans
+      (inline + ``$$`` blocks; environment bodies are unbounded by a
+      regex and excluded) over all chars, rounded to 6 (double).
+
+    Scale shape: a single whole-stage-codegen projection — no
+    shuffle, no Python. Pairs with ``quality_scores`` in corpus-prep
+    gates (drop or route-to-math-pipeline above a density cut).
+
+    Reference analogue: none — the reference's psv step only lowercased
+    symbols away (psv.py); an LLM-corpus engine wants the signal, not
+    just the removal.
+    """
+    t = F.col(text_col)
+    inline_re = r"\$[^$]+\$"
+    display_env_re = (r"\\begin\{(?:equation|align|eqnarray|"
+                      r"displaymath|gather|multline)\*?\}")
+    dollars_re = r"\$\$[^$]+\$\$"
+    cmd_re = r"\\[a-zA-Z]+"
+    # inline count must not double-count $$...$$ bodies: strip display
+    # blocks first, then count inline on the remainder.
+    no_display = F.regexp_replace(t, dollars_re, " ")
+    inline_chars_arr = F.regexp_extract_all(
+        no_display, F.lit(inline_re), 0)
+    display_chars_arr = F.regexp_extract_all(t, F.lit(dollars_re), 0)
+    span_chars = (
+        F.aggregate(inline_chars_arr, F.lit(0),
+                    lambda acc, s: acc + F.length(s))
+        + F.aggregate(display_chars_arr, F.lit(0),
+                      lambda acc, s: acc + F.length(s))
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(no_display, F.lit(inline_re)).cast("long")
+        .alias("n_inline"),
+        (F.regexp_count(t, F.lit(display_env_re))
+         + F.regexp_count(t, F.lit(dollars_re))).cast("long")
+        .alias("n_display"),
+        F.regexp_count(t, F.lit(cmd_re)).cast("long")
+        .alias("n_commands"),
+        F.round(span_chars / F.greatest(F.length(t), F.lit(1)), 6)
+        .cast("double").alias("math_char_fraction"),
+    )

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    DEFAULT_MAX_BUCKET_SIZE,
     exact_jaccard,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -78,6 +79,7 @@ def run_dedup_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     commit_meta: Optional[dict] = None,
+    max_bucket_size: Optional[int] = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Dedup ``delta`` against itself and all previously-indexed docs.
 
@@ -91,6 +93,18 @@ def run_dedup_incremental(
     ``{"stream_batch_id": 7}``). Appends are stamped with it and a
     REPLAY of the same increment skips any append whose stamp is
     already committed — per-table idempotency under crash/retry.
+
+    ``max_bucket_size`` caps BOTH candidate joins: the intra-delta
+    self-join (as in ``lsh_candidate_pairs``) and the delta×history
+    cross join — on the cross side a (band, bucket) hot on EITHER
+    side is excluded before the join. Without the cross-side cap a
+    degenerate bucket holding d delta and h history docs shuffles d×h
+    candidate rows; the sf1 soak hit exactly this (a boilerplate-heavy
+    synthetic corpus drove d, h into the 10^5 range → a ~10^10-row
+    shuffle that filled the disk before any cap saw it). The committed
+    INDEX stays complete — capping filters candidate generation only,
+    so a later increment with a saner delta still sees every bucket
+    row.
     """
 
     def _already_committed(table: SnapshotTable) -> bool:
@@ -109,7 +123,8 @@ def run_dedup_incremental(
 
     # delta x delta candidates (the standard capped self-join)
     intra = lsh_candidate_pairs(sigs, bands=bands,
-                                rows_per_band=rows_per_band)
+                                rows_per_band=rows_per_band,
+                                max_bucket_size=max_bucket_size)
 
     # delta x history candidates: equi-join against the committed
     # bucket index — no historical text or signatures recomputed.
@@ -121,9 +136,27 @@ def run_dedup_incremental(
                     spark, commit_meta,
                     schema=bucket_schema(delta, id_col))
                 if commit_meta else bucket_table.read(spark))
+        cross_delta, cross_hist = delta_buckets, hist
+        if max_bucket_size is not None:
+            hot = (
+                cross_delta.groupBy("band", "bucket")
+                .agg(F.count("*").alias("_n"))
+                .unionByName(cross_hist.groupBy("band", "bucket")
+                             .agg(F.count("*").alias("_n")))
+                .groupBy("band", "bucket")
+                .agg(F.max("_n").alias("_n"))
+                .where(F.col("_n") > max_bucket_size)
+                .select("band", "bucket")
+                # bounded by (delta+history) / max_bucket_size rows
+                .localCheckpoint(eager=True)
+            )
+            cross_delta = cross_delta.join(
+                F.broadcast(hot), on=["band", "bucket"], how="left_anti")
+            cross_hist = cross_hist.join(
+                F.broadcast(hot), on=["band", "bucket"], how="left_anti")
         cross = (
-            delta_buckets.alias("d")
-            .join(hist.alias("h"),
+            cross_delta.alias("d")
+            .join(cross_hist.alias("h"),
                   (F.col("d.band") == F.col("h.band"))
                   & (F.col("d.bucket") == F.col("h.bucket")))
             .select(

@@ -960,3 +960,48 @@ def q_event_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@_register(
+    "kmeans_assign",
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, cid,
+             list_sum(list_transform(range(1, len(v) + 1),
+               i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS dist
+      FROM v, c
+    )
+    SELECT vec_id, cid AS centroid_id FROM d
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist, cid) = 1
+    ORDER BY vec_id
+    """,
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-means assignment with the first 8 vectors as fixed
+    centroids: the JVM projection path (inlined centroid array,
+    double left-fold distances) must agree with the oracle's explicit
+    cross-join argmin; ties break to the lowest centroid id. The
+    pandas-UDF production path is pinned to this operator by pytest
+    parity."""
+    from ..operators.similarity import assign_nearest_centroid
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        list(map(float, r["embedding"]))
+        for r in emb.where(F.col("vec_id") < 8)
+        .orderBy("vec_id").collect()
+    ]
+    return (
+        assign_nearest_centroid(emb, cents)
+        .select("vec_id", F.col("centroid_id").cast("long")
+                .alias("centroid_id"))
+        .orderBy("vec_id")
+    )

@@ -360,3 +360,52 @@ def q_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _leakage_split_sql() -> str:
+    from ..operators.sampling import HASH_BUCKETS, split_boundaries
+
+    bucket = ("('0x' || substr(md5(cluster::VARCHAR), 1, 8))::BIGINT"
+              f" % {HASH_BUCKETS}")
+    bounds = split_boundaries({"train": 0.8, "val": 0.1, "test": 0.1})
+    cases = " ".join(
+        f"WHEN b < {upper} THEN '{name}'" for name, upper in bounds[:-1]
+    )
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 IN (1, 2)
+                  THEN doc_id - doc_id % 10
+                  ELSE doc_id END AS cluster
+      FROM documents
+    )
+    SELECT doc_id, cluster,
+           CASE {cases} ELSE '{bounds[-1][0]}' END AS split
+    FROM (SELECT doc_id, cluster, {bucket} AS b FROM c)
+    ORDER BY doc_id
+    """
+
+
+@_register("leakage_safe_split", _leakage_split_sql())
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware split on planted duplicate clusters: docs with
+    doc_id % 10 in (1, 2) pair with their decade base, so each cluster
+    {base, base+1, base+2} must land in ONE split keyed by md5(base);
+    all other docs are singletons and must match plain hash_split
+    exactly. The cluster column is the label-propagation output, so
+    the oracle also pins the connected-components fixpoint."""
+    from ..operators.sampling import leakage_safe_split
+
+    docs = _docs(spark, sf_dir)
+    members = docs.where(F.col("doc_id") % 10 <= 2).where(
+        F.col("doc_id") % 10 >= 1)
+    pairs = members.select(
+        (F.col("doc_id") - F.col("doc_id") % 10).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+    )
+    return (
+        leakage_safe_split(
+            docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("doc_id", "cluster", "split")
+        .orderBy("doc_id")
+    )

@@ -779,3 +779,61 @@ def q_citation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         citation_edges(_planted_refs_docs(spark, sf_dir))
         .orderBy("src_doc_id", "cited_arxiv_id")
     )
+
+@_register(
+    "section_segments",
+    """
+    WITH t AS (
+      SELECT doc_id, 1 + doc_id % 4 AS n_sec FROM documents
+    ),
+    secs AS (
+      SELECT doc_id, n_sec, i AS sec_idx,
+             1 + (doc_id + i) % 3 AS n_lines
+      FROM t, UNNEST(range(1, n_sec + 1)) AS u(i)
+    )
+    SELECT doc_id, sec_idx::INT AS sec_idx,
+           CASE WHEN sec_idx % 2 = 1
+                THEN sec_idx || '. Heading ' || sec_idx
+                ELSE sec_idx || ' Heading ' || sec_idx END AS heading,
+           n_lines AS n_lines, 4 * n_lines AS n_words
+    FROM secs
+    UNION ALL
+    SELECT doc_id, 0 AS sec_idx, '' AS heading,
+           2 AS n_lines, 12 AS n_words
+    FROM t
+    ORDER BY doc_id, sec_idx
+    """,
+)
+def q_section_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section segmentation on planted structure: a fixed two-line
+    preamble, then 1 + doc_id % 4 numbered sections ('s. Heading s'
+    for odd s — the trailing-dot form — plain 's Heading s' for even)
+    each with 1 + (doc_id + s) % 3 four-word body lines; every
+    (heading, n_lines, n_words) is closed-form in both engines."""
+    from ..operators.references import section_segments
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("""
+          concat(
+            'intro line one alpha beta x\nintro line two gamma delta y',
+            aggregate(sequence(1, 1 + cast(doc_id % 4 as int)), '',
+              (acc, s) -> concat(acc, '\n',
+                if(s % 2 = 1,
+                   concat(cast(s as string), '. Heading ',
+                          cast(s as string)),
+                   concat(cast(s as string), ' Heading ',
+                          cast(s as string))),
+                '\n',
+                array_join(transform(
+                  sequence(1, 1 + cast((doc_id + s) % 3 as int)),
+                  j -> concat('body ', cast(doc_id as string), ' ',
+                              cast(s as string), ' ',
+                              cast(j as string))), '\n'))))
+        """).alias("text"),
+    )
+    return (
+        section_segments(planted)
+        .select("doc_id", "sec_idx", "heading", "n_lines", "n_words")
+        .orderBy("doc_id", "sec_idx")
+    )

@@ -342,3 +342,48 @@ def q_media_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@_register(
+    "latex_math_density",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             doc_id % 4 AS a,          -- inline $x+y$ plants
+             doc_id % 3 AS e,          -- \\begin{equation} blocks
+             doc_id % 2 AS d,          -- $$a-b$$ blocks
+             doc_id % 5 AS c,          -- bare \\alpha commands
+             length(text) AS l
+      FROM documents
+    )
+    SELECT doc_id,
+           a AS n_inline,
+           e + d AS n_display,
+           2 * e + c AS n_commands,
+           round((5.0 * a + 7.0 * d)
+                 / (l + 6 * a + 39 * e + 8 * d + 7 * c), 6)
+             AS math_char_fraction
+    FROM t ORDER BY doc_id
+    """,
+)
+def q_latex_math_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LaTeX math profiling on planted markup: each doc gains
+    doc_id%4 inline '$x+y$' spans, doc_id%3 equation environments,
+    doc_id%2 '$$a-b$$' display blocks and doc_id%5 bare commands, all
+    appended to the (markup-free) base text — so every metric has a
+    closed form and the $$-vs-$ disambiguation (display bodies must
+    not count as inline) is exercised on every even doc."""
+    from ..operators.text_metrics import latex_math_stats
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.expr("repeat(' $x+y$', cast(doc_id % 4 as int))"),
+            F.expr(r"repeat(' \\begin{equation} E=mc^2"
+                   r" \\end{equation}', cast(doc_id % 3 as int))"),
+            F.expr("repeat(' $$a-b$$', cast(doc_id % 2 as int))"),
+            F.expr(r"repeat(' \\alpha', cast(doc_id % 5 as int))"),
+        ).alias("text"),
+    )
+    return latex_math_stats(planted).orderBy("doc_id")
