@@ -415,3 +415,41 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
                                      else i)
         if i not in clustered:
             assert out[i]["split"] == plain[i], i
+
+
+def test_dsir_importance_weights_tilts_toward_target(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, "aa aa aa"), (2, "bb bb bb"), (3, "aa bb"),
+         (4, "cc cc cc")],
+        "doc_id int, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "aa aa aa aa")], "doc_id int, text string")
+    out = {r["doc_id"]: r for r in dsir_importance_weights(
+        raw, target, buckets=16).collect()}
+    assert {d: r["n_tokens"] for d, r in out.items()} == {
+        1: 3, 2: 3, 3: 2, 4: 3}
+    # the all-'aa' doc must outscore the no-'aa' docs; 'cc' (absent
+    # from target AND distinct raw mass) scores below the mixed doc
+    assert out[1]["log_weight"] > out[3]["log_weight"]
+    assert out[3]["log_weight"] > out[2]["log_weight"]
+    # every-token-unseen-in-target docs get negative weights
+    assert out[2]["log_weight"] < 0 and out[4]["log_weight"] < 0
+
+
+def test_dsir_weights_zero_for_empty_docs(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, "x y"), (2, "")], "doc_id int, text string")
+    target = spark.createDataFrame([(9, "x")], "doc_id int, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["log_weight"])
+           for r in dsir_importance_weights(raw, target).collect()}
+    assert out[2] == (0, 0.0)
+    assert out[1][0] == 2

@@ -156,3 +156,43 @@ def test_assign_nearest_centroid_parity_and_ties(spark):
     assert assign_nearest_centroid(tie, tc).collect()[0]["centroid_id"] == 0
     assert tie.select(_nearest_centroid_udf(tc)("embedding")
                       .alias("c")).collect()[0]["c"] == 0
+
+
+def test_semantic_near_duplicates_cluster_scoped(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.similarity import (
+        semantic_near_duplicates,
+    )
+
+    cents = [[1.0, 0.0], [100.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [2.0, 0.0]),    # cluster 0
+        (2, [2.0, 0.0]),    # exact dup of 1, cluster 0
+        # cosine 1.0 with 1 and 2, but its magnitude assigns it to
+        # cluster 1 — SemDeDup never emits cross-cluster pairs
+        (3, [60.0, 0.0]),
+        (4, [0.0, 5.0]),    # cluster 2, alone
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]): r["cos"]
+           for r in semantic_near_duplicates(
+               df, cents, threshold=0.95).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 1.0
+
+
+def test_semantic_near_duplicates_hot_cluster_cap(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.similarity import (
+        semantic_near_duplicates,
+    )
+
+    rows = [(i, [1.0, float(i) * 1e-4]) for i in range(6)]  # all c0
+    rows += [(10, [0.0, 1.0]), (11, [0.0, 1.0])]            # c1 pair
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    capped = semantic_near_duplicates(
+        df, cents, threshold=0.99, max_cluster_size=5).collect()
+    # cluster 0 (6 members) exceeds the cap: only the c1 pair survives
+    assert [(r["id_a"], r["id_b"]) for r in capped] == [(10, 11)]
+    uncapped = semantic_near_duplicates(
+        df, cents, threshold=0.99, max_cluster_size=None)
+    assert uncapped.where("id_a < 10").count() > 0

@@ -525,3 +525,29 @@ def test_per_domain_cap_keys_by_registrable_domain(spark):
         by_dom.setdefault(r["domain"], 0)
         by_dom[r["domain"]] += 1
     assert by_dom == {"a.co.uk": 10, "b.co.uk": 10}
+
+
+def test_crawl_frontier_batches_politeness(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.weblinks import (
+        crawl_frontier_batches,
+    )
+
+    rows = [
+        ("https://a.com/1", 9.0), ("https://a.com/2", 5.0),
+        ("https://a.com/3", 7.0), ("https://b.com/1", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "url string, score double")
+    got = {r["url"]: r["fetch_batch"]
+           for r in crawl_frontier_batches(df).collect()}
+    # per_host=1: a.com fetches by descending score, one per batch
+    assert got == {"https://a.com/1": 0, "https://a.com/3": 1,
+                   "https://a.com/2": 2, "https://b.com/1": 0}
+    # no batch has two same-host URLs
+    out = crawl_frontier_batches(df, per_host_per_batch=2)
+    by_batch = {}
+    for r in out.collect():
+        by_batch.setdefault((r["host"], r["fetch_batch"]), 0)
+        by_batch[(r["host"], r["fetch_batch"])] += 1
+    assert max(by_batch.values()) <= 2
+    capped = crawl_frontier_batches(df, max_batches=2)
+    assert capped.count() == 3  # a.com loses its 3rd fetch

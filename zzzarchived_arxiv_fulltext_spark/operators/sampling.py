@@ -550,3 +550,89 @@ def leakage_safe_split(
     for name, upper in reversed(bounds[:-1]):
         expr = F.when(bucket < upper, F.lit(name)).otherwise(expr)
     return clustered.withColumn(split_col, expr)
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): per-document
+    importance log-weight ``log p_target(x) - log p_raw(x)`` under
+    hashed-unigram bag-of-words language models.
+
+    Both models are multinomials over ``buckets`` hashed token
+    features (the stable md5 ``hash_bucket``) with add-``smoothing``
+    estimation; a document's log-weight is the sum over its tokens of
+    the per-bucket log-probability ratio. Selecting the top-weighted
+    raw documents (or gumbel-resampling on the weights) tilts the raw
+    corpus toward the target distribution — the published recipe for
+    pretraining-data selection against a quality target.
+
+    Scale shape: token counts are map-side-combinable aggregations;
+    both models are <= ``buckets`` rows and broadcast into the scoring
+    join, so the raw corpus is read once and never shuffled on
+    anything wider than (doc, bucket). Returns (id, n_tokens,
+    log_weight), one row per raw document (empty docs score 0.0).
+    """
+
+    def bucket_counts(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "),
+                         lambda t: t != F.lit(""))
+            ).alias("_tok"),
+        )
+        return toks.select(
+            id_col, hash_bucket(F.col("_tok"), buckets).alias("_b")
+        ).groupBy(id_col, "_b").agg(F.count("*").alias("_c"))
+
+    def model(df: DataFrame):
+        counts = (
+            bucket_counts(df).groupBy("_b")
+            .agg(F.sum("_c").alias("_n"))
+        )
+        total = counts.agg(F.sum("_n").alias("_t"))
+        return counts, total
+
+    t_counts, t_total = model(target)
+    r_counts, r_total = model(raw)
+    # one tiny frame: bucket -> log(p_target/p_raw); missing buckets
+    # fall back to the smoothing mass of each model
+    ratio = (
+        t_counts.withColumnRenamed("_n", "_nt")
+        .join(r_counts.withColumnRenamed("_n", "_nr"), on="_b",
+              how="full")
+        .crossJoin(t_total.withColumnRenamed("_t", "_tt"))
+        .crossJoin(r_total.withColumnRenamed("_t", "_tr"))
+        .select(
+            "_b",
+            (
+                F.log((F.coalesce("_nt", F.lit(0)) + smoothing)
+                      / (F.col("_tt") + smoothing * buckets))
+                - F.log((F.coalesce("_nr", F.lit(0)) + smoothing)
+                        / (F.col("_tr") + smoothing * buckets))
+            ).alias("_lr"),
+        )
+    )
+    doc = bucket_counts(raw)
+    scored = (
+        doc.join(F.broadcast(ratio), on="_b")
+        .groupBy(id_col)
+        .agg(F.sum("_c").alias("n_tokens"),
+             F.sum(F.col("_c") * F.col("_lr")).alias("_w"))
+    )
+    return (
+        raw.select(id_col).distinct()
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long")
+            .alias("n_tokens"),
+            F.round(F.coalesce("_w", F.lit(0.0)), 6).alias("log_weight"),
+        )
+    )

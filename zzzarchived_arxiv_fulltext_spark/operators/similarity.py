@@ -16,7 +16,7 @@ full corpus; it exists to verify the ANN path's recall on samples.
 
 import hashlib
 import math
-from typing import List
+from typing import List, Optional
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -465,4 +465,65 @@ def assign_nearest_centroid(df: DataFrame, centroids,
         (F.array_position(dists, F.array_min(dists)) - 1)
         .cast("int").alias("centroid_id"),
         F.array_min(dists).alias(dist_col),
+    )
+
+
+def semantic_near_duplicates(
+    df: DataFrame,
+    centroids,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: Optional[int] = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: (id_a, id_b, cos)
+    with ``id_a < id_b``, cosine >= ``threshold``, and BOTH vectors
+    assigned to the same k-means cluster.
+
+    The cluster partition (Abbas et al., SemDeDup) is what makes
+    embedding dedup tractable at corpus scale: pairwise cosine runs
+    only WITHIN a cluster, so total candidate work is sum(c_i^2)
+    instead of n^2 — with balanced clusters that is n^2/k. The
+    assignment step is the zero-shuffle inlined-centroid projection
+    (:func:`assign_nearest_centroid`); the within-cluster self-join
+    shuffles once on ``centroid_id``.
+
+    ``max_cluster_size`` bounds the degenerate case (one cluster
+    swallowing the corpus → n^2 again): clusters larger than the cap
+    are excluded from pair generation — same observable-drop contract
+    as the LSH hot-bucket cap in ``dedup.lsh_candidate_pairs``. Pass
+    ``None`` to disable. Chain the pairs into
+    ``plans.dedup_job.connected_keep_list`` (or drop ``id_b``
+    greedily) for the keeper election.
+    """
+    assigned = (
+        assign_nearest_centroid(df, centroids, vec_col=vec_col,
+                                id_col=id_col)
+        .select(id_col, "centroid_id")
+        .join(df.select(id_col, vec_col), on=id_col)
+    )
+    if max_cluster_size is not None:
+        ok = (
+            assigned.groupBy("centroid_id")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") <= max_cluster_size)
+            .select("centroid_id")
+        )
+        assigned = assigned.join(F.broadcast(ok), on="centroid_id")
+    a = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        a.join(b, on="centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= threshold)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
     )

@@ -546,3 +546,46 @@ def filter_robots_disallowed(df: DataFrame, robots_df: DataFrame,
     )
     blocked = decisions.where(~F.col("_allow")).select(id_col)
     return df.join(blocked, on=id_col, how="left_anti")
+
+
+def crawl_frontier_batches(
+    df: DataFrame,
+    url_col: str = "url",
+    score_col: str = "score",
+    per_host_per_batch: int = 1,
+    max_batches: Optional[int] = None,
+    extra_suffixes=(),
+) -> DataFrame:
+    """Politeness-aware crawl scheduling: assign every frontier URL a
+    ``fetch_batch`` such that no batch contains more than
+    ``per_host_per_batch`` URLs of the same host, and within a host
+    higher-``score_col`` URLs (priority from PageRank / anchor-text
+    signals) fetch first.
+
+    The k-th highest-priority URL of each host lands in batch
+    ``(k-1) // per_host_per_batch`` — executing batches in order is
+    exactly the per-host round-robin a polite fetcher needs (pair with
+    ``sources.http_fetch``'s host-partitioned delay for intra-batch
+    pacing). ``max_batches`` drops the tail of over-represented hosts
+    (observable via the count difference), bounding a crawl cycle.
+
+    Scale shape: one shuffle on ``host`` for the row_number window —
+    no global sort, no driver state. A mega-host skews its single
+    partition; AQE splits it, and the cap keeps its schedule length
+    bounded. Ties break on URL for determinism.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.col(score_col).desc(), F.col(url_col))
+    out = (
+        parse_urls(df, url_col, extra_suffixes)
+        .withColumn(
+            "fetch_batch",
+            ((F.row_number().over(w) - 1)
+             / per_host_per_batch).cast("int"),
+        )
+    )
+    if max_batches is not None:
+        out = out.where(F.col("fetch_batch") < max_batches)
+    return out

@@ -187,6 +187,36 @@ def q_pdf_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.select("doc_id", text.alias("extracted"))
 
 
+@_register("ps_text_extraction", _CHUNKED_TEXT_SQL)
+def q_ps_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real round trip for the PostScript half of the PDF/PS charter:
+    text → DSC-conformant PS bytes (moveto/show stream, octal-escaped
+    UTF-8) → tokenizer-level interpreter → span table → reassembled
+    text. Same closed-form oracle as the PDF twin: both parsers must
+    recover the identical 12-word-chunked line structure."""
+    import pandas as pd
+
+    from ..functions.ps_text import make_simple_ps
+    from ..sources.ps_ingest import ps_to_spans
+
+    docs = _docs(spark, sf_dir).where("doc_id < 300").select("doc_id", "text")
+
+    def build(batches):
+        for b in batches:
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"].astype(str),
+                "ps": [make_simple_ps([_chunked(t)]) for t in b["text"]],
+            })
+
+    files = docs.mapInPandas(build, "doc_id string, ps binary")
+    spans = ps_to_spans(files)
+    text = F.expr(
+        "array_join(transform(array_sort(filter(spans, s -> s.kind = 'text'),"
+        " (a, b) -> a.offset - b.offset), s -> s.text), '\\n')"
+    )
+    return spans.select("doc_id", text.alias("extracted"))
+
+
 _HTML_HEAD = (
     "<html><head><title>doc</title><style>p{margin:0}</style></head><body>"
     "<header><h1>Synthetic Corpus</h1></header>"

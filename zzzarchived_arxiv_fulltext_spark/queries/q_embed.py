@@ -1005,3 +1005,71 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("centroid_id"))
         .orderBy("vec_id")
     )
+
+
+@_register(
+    "semdedup_pairs",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    allv AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 10000, v FROM base WHERE vec_id % 10 = 0
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 8),
+    d AS (
+      SELECT allv.vec_id, cid,
+             list_sum(list_transform(range(1, len(v) + 1),
+               i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS dist
+      FROM allv, c
+    ),
+    a AS (
+      SELECT vec_id, cid FROM d
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) = 1
+    ),
+    p AS (
+      SELECT x.vec_id AS ia, y.vec_id AS ib,
+             list_sum(list_transform(range(1, len(vx.v) + 1),
+               i -> vx.v[i] * vy.v[i]))
+             / (sqrt(list_sum(list_transform(vx.v, z -> z * z)))
+                * sqrt(list_sum(list_transform(vy.v, z -> z * z))))
+               AS cos
+      FROM a x
+      JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN allv vx ON vx.vec_id = x.vec_id
+      JOIN allv vy ON vy.vec_id = y.vec_id
+    )
+    SELECT ia::BIGINT AS id_a, ib::BIGINT AS id_b,
+           round(cos, 6) AS cos
+    FROM p WHERE cos >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on planted twins: every 10th vector gains an exact
+    copy at id+10000 — same direction, same cluster by construction —
+    so the within-cluster cosine pass must find exactly those pairs
+    (the corpus's natural max within-cluster cosine is ~0.49, far
+    under the 0.9 gate). Exercises the real assignment projection +
+    cluster-partitioned self-join against the oracle's explicit
+    argmin + cross-join."""
+    from ..operators.similarity import semantic_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    twins = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    allv = emb.select("vec_id", "embedding").unionByName(twins)
+    cents = [
+        list(map(float, r["embedding"]))
+        for r in emb.where(F.col("vec_id") < 8)
+        .orderBy("vec_id").collect()
+    ]
+    return (
+        semantic_near_duplicates(allv, cents, threshold=0.9)
+        .select(F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"), "cos")
+        .orderBy("id_a", "id_b")
+    )

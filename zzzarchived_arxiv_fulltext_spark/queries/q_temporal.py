@@ -409,3 +409,55 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster", "split")
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "dsir_weights",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '),
+                                t -> t != '')) AS tok
+      FROM documents
+    ),
+    bk AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS b
+      FROM tok
+    ),
+    doc AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+    rc AS (SELECT b, sum(c) AS nr FROM doc GROUP BY 1),
+    tc AS (SELECT b, sum(c) AS nt FROM doc
+           WHERE doc_id % 10 = 0 GROUP BY 1),
+    tt AS (SELECT sum(nt) AS t FROM tc),
+    tr AS (SELECT sum(nr) AS t FROM rc),
+    r AS (
+      SELECT rc.b,
+             ln((coalesce(nt, 0) + 1.0)
+                / ((SELECT t FROM tt) + 64.0))
+             - ln((nr + 1.0) / ((SELECT t FROM tr) + 64.0)) AS lr
+      FROM rc LEFT JOIN tc USING (b)
+    )
+    SELECT doc.doc_id,
+           sum(c)::BIGINT AS n_tokens,
+           round(sum(c * lr), 6) AS log_weight
+    FROM doc JOIN r USING (b)
+    GROUP BY doc.doc_id
+    ORDER BY doc.doc_id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights with every 10th document as the target
+    corpus: the full hashed-unigram pipeline (md5 bucket features,
+    add-1 smoothed multinomials, per-doc log-ratio sums) simulated
+    end-to-end in SQL. Target members should score visibly higher
+    than the raw average — but the oracle pins the exact arithmetic,
+    not just the ordering."""
+    from ..operators.sampling import dsir_importance_weights
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    target = docs.where(F.col("doc_id") % 10 == 0)
+    return (
+        dsir_importance_weights(docs, target, buckets=64)
+        .orderBy("doc_id")
+    )

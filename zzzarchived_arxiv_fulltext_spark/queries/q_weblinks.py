@@ -1111,3 +1111,42 @@ def q_robots_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_extract("url", "https://([^/]+)/", 1).alias("host"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "crawl_frontier",
+    f"""
+    WITH u AS (
+      SELECT {_PLANTED_URL_SQL} AS url,
+             CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.'
+                  ELSE '' END
+               || 'site' || (doc_id % 5)::VARCHAR
+               || CASE doc_id % 2 WHEN 0 THEN '.com' ELSE '.org' END
+               AS host,
+             (doc_id % 11)::DOUBLE AS score
+      FROM documents
+    )
+    SELECT url, host,
+           CAST(floor((row_number() OVER (
+               PARTITION BY host ORDER BY score DESC, url) - 1) / 2)
+             AS INT) AS fetch_batch
+    FROM u ORDER BY url, fetch_batch
+    """,
+)
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-batched crawl schedule over the planted URL scaffold
+    with PageRank-style priorities (doc_id % 11): at most 2 URLs per
+    host per batch, higher scores first. Duplicate (url, score) rows
+    may swap ranks between engines, but identical rows make the output
+    multiset identical — the sorted-rows compare is rank-stable."""
+    from ..operators.weblinks import crawl_frontier_batches
+
+    docs = _docs(spark, sf_dir).select(
+        _planted_url().alias("url"),
+        (F.col("doc_id") % 11).cast("double").alias("score"),
+    )
+    return (
+        crawl_frontier_batches(docs, per_host_per_batch=2)
+        .select("url", "host", "fetch_batch")
+        .orderBy("url", "fetch_batch")
+    )

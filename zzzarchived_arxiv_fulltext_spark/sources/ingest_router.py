@@ -36,11 +36,13 @@ ROUTED_SCHEMA = T.StructType(
 
 
 def sniff_format(data: bytes) -> str:
-    """'pdf' | 'html' | 'text' | 'unknown' from leading bytes."""
+    """'pdf' | 'ps' | 'html' | 'text' | 'unknown' from leading bytes."""
     if not data:
         return "unknown"
     if data.startswith(b"%PDF"):
         return "pdf"
+    if data.startswith(b"%!"):
+        return "ps"
     head = data[:2048].lstrip()
     low = head[:256].lower()
     if low.startswith(b"<!doctype") or low.startswith(b"<html") or (
@@ -56,6 +58,11 @@ def sniff_format(data: bytes) -> str:
 def _spans_for(doc_id: str, data: bytes, fmt: str) -> List[dict]:
     if fmt == "pdf":
         return build_pdf_spans(doc_id, data, extract_pdf_page_texts(data))
+    if fmt == "ps":
+        from ..functions.ps_text import extract_ps_page_texts
+        from .ps_ingest import build_ps_spans
+
+        return build_ps_spans(doc_id, data, extract_ps_page_texts(data))
     if fmt == "html":
         return extract_main_spans(data.decode("utf-8", "replace"))
     if fmt == "text":
