@@ -217,6 +217,39 @@ def q_ps_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.select("doc_id", text.alias("extracted"))
 
 
+@_register("tex_text_extraction", _CHUNKED_TEXT_SQL)
+def q_tex_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real round trip for LaTeX source ingestion (arXiv's native
+    format): text → full .tex document with planted droppable markup
+    (comments, display/inline math, cite/ref machinery, a figure
+    environment) → detex pipeline → routed span table → reassembly.
+    The closed form is the same 12-word chunking the PDF/PS/HTML
+    round trips share — all four format parsers must recover the
+    identical line structure from their own markup."""
+    import pandas as pd
+
+    from ..functions.tex_text import make_simple_tex
+    from ..sources.ingest_router import raw_to_spans
+
+    docs = _docs(spark, sf_dir).where("doc_id < 300").select("doc_id", "text")
+
+    def build(batches):
+        for b in batches:
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"].astype(str),
+                "payload": [make_simple_tex(_chunked(t)).encode()
+                            for t in b["text"]],
+            })
+
+    files = docs.mapInPandas(build, "doc_id string, payload binary")
+    routed = raw_to_spans(files)
+    text = F.expr(
+        "array_join(transform(array_sort(filter(spans, s -> s.kind = 'text'),"
+        " (a, b) -> a.offset - b.offset), s -> s.text), '\\n')"
+    )
+    return routed.select("doc_id", text.alias("extracted"))
+
+
 _HTML_HEAD = (
     "<html><head><title>doc</title><style>p{margin:0}</style></head><body>"
     "<header><h1>Synthetic Corpus</h1></header>"

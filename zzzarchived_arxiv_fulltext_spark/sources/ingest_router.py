@@ -43,6 +43,9 @@ def sniff_format(data: bytes) -> str:
         return "pdf"
     if data.startswith(b"%!"):
         return "ps"
+    if (b"\\documentclass" in data[:2048]
+            or b"\\begin{document}" in data[:2048]):
+        return "tex"
     head = data[:2048].lstrip()
     low = head[:256].lower()
     if low.startswith(b"<!doctype") or low.startswith(b"<html") or (
@@ -63,6 +66,22 @@ def _spans_for(doc_id: str, data: bytes, fmt: str) -> List[dict]:
         from .ps_ingest import build_ps_spans
 
         return build_ps_spans(doc_id, data, extract_ps_page_texts(data))
+    if fmt == "tex":
+        import re as _re
+
+        from ..functions.tex_text import extract_tex_text
+
+        src = data.decode("utf-8", "replace")
+        text = extract_tex_text(src)
+        spans = []
+        if text:
+            spans.append({"kind": "text", "text": text,
+                          "media_ref": None, "offset": 0})
+        for m in range(len(_re.findall(r"\\includegraphics", src))):
+            spans.append({"kind": "media", "text": None,
+                          "media_ref": f"teximg://{doc_id}/{m}",
+                          "offset": len(spans)})
+        return spans
     if fmt == "html":
         return extract_main_spans(data.decode("utf-8", "replace"))
     if fmt == "text":
