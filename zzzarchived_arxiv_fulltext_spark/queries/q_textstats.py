@@ -387,3 +387,94 @@ def q_latex_math_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return latex_math_stats(planted).orderBy("doc_id")
+
+
+@_register(
+    "quality_classifier_scores",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '),
+                                t -> t != '')) AS tok
+      FROM documents
+    ),
+    bk AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS bucket
+      FROM tok
+    ),
+    cnt AS (SELECT doc_id, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+    tf AS (
+      SELECT doc_id, bucket,
+             c::DOUBLE / sum(c) OVER (PARTITION BY doc_id) AS tf
+      FROM cnt
+    ),
+    lab AS (
+      SELECT doc_id, bucket, tf,
+             CASE WHEN doc_id % 10 = 0 THEN 1.0 ELSE 0.0 END AS y
+      FROM tf
+    ),
+    nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM lab),
+    r1 AS (SELECT DISTINCT doc_id, 0.5 - y AS r FROM lab),
+    w1 AS (
+      SELECT bucket,
+             -sum((0.5 - y) * tf) / (SELECT n FROM nd) AS w
+      FROM lab GROUP BY bucket
+    ),
+    b1 AS (SELECT -sum(r) / (SELECT n FROM nd) AS b FROM r1),
+    z2 AS (
+      SELECT lab.doc_id, any_value(y) AS y,
+             sum(tf * w1.w) AS z
+      FROM lab JOIN w1 USING (bucket) GROUP BY lab.doc_id
+    ),
+    r2 AS (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-(z + (SELECT b FROM b1)))) - y AS r
+      FROM z2
+    ),
+    w2 AS (
+      SELECT lab.bucket,
+             any_value(w1.w)
+               - sum(r2.r * lab.tf) / (SELECT n FROM nd) AS w
+      FROM lab
+      JOIN r2 USING (doc_id)
+      JOIN w1 ON w1.bucket = lab.bucket
+      GROUP BY lab.bucket
+    ),
+    b2 AS (
+      SELECT (SELECT b FROM b1)
+               - sum(r) / (SELECT n FROM nd) AS b
+      FROM r2
+    ),
+    zs AS (
+      SELECT tf.doc_id, sum(tf.tf * w2.w) AS z
+      FROM tf JOIN w2 USING (bucket) GROUP BY tf.doc_id
+    )
+    SELECT d.doc_id,
+           round(1.0 / (1.0 + exp(-(coalesce(zs.z, 0.0)
+                                    + (SELECT b FROM b2)))), 6)
+             AS quality_prob
+    FROM documents d LEFT JOIN zs USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_quality_classifier_scores(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """CCNet-style quality classifier, trained AND scored inside the
+    query: 2 full-batch gradient steps of logistic regression over 16
+    md5-hashed tf features, every 10th document as the positive
+    class. The oracle unrolls both steps exactly (w=0 start makes
+    step 1 closed-form; step 2 re-scores with w1), so the distributed
+    gradient aggregation is pinned to the arithmetic, not just to a
+    direction."""
+    from ..operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pos = docs.where(F.col("doc_id") % 10 == 0)
+    neg = docs.where(F.col("doc_id") % 10 != 0)
+    w, b = train_quality_classifier(pos, neg, buckets=16, steps=2,
+                                    lr=1.0)
+    return score_quality(docs, w, b).orderBy("doc_id")
