@@ -330,3 +330,27 @@ def test_cut_within_doc_repeat(spark):
     out = cut_duplicated_windows(df, n=5).collect()[0]
     assert out["text"] == "a b c d e z"
     assert out["n_tokens_removed"] == 5
+
+
+def test_dedup_candidate_eval_counts(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.dedup import (
+        dedup_candidate_eval,
+    )
+
+    # two exact-duplicate pairs + two unrelated docs: truth = 2 pairs,
+    # LSH must recall both (identical signatures share every band)
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "one two three four five six seven"),
+        (4, "one two three four five six seven"),
+        (5, "totally different words entirely here now"),
+        (6, "another unrelated document with other tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    r = dedup_candidate_eval(df, threshold=0.9).collect()[0]
+    assert r["n_truth"] == 2
+    assert r["tp"] == 2 and r["fn"] == 0
+    assert r["recall"] == 1.0
+    assert r["n_candidates"] >= 2
+    assert r["fp"] == r["n_candidates"] - 2

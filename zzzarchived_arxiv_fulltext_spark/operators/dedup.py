@@ -604,3 +604,66 @@ def cut_duplicated_windows(df: DataFrame, n: int = 8,
             .alias("n_tokens_removed"),
         )
     )
+
+
+def dedup_candidate_eval(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate-generation quality report: precision/recall of the
+    banded-LSH candidate set against exact n-gram-Jaccard ground
+    truth, as ONE row (n_truth, n_candidates, tp, fn, fp, precision,
+    recall).
+
+    Run this on a SAMPLE (``deterministic_sample``), not the corpus:
+    the ground truth joins every co-shingle pair, which is the
+    all-pairs cost LSH exists to avoid. Its purpose is tuning — pick
+    (num_hashes, bands) so recall at the dedup threshold is
+    acceptable before a full run, and re-check after corpus drift.
+    ``fp`` counts candidates below the threshold (the verify pass
+    removes them later — they cost compute, not correctness); ``fn``
+    counts true pairs banding missed (silent under-dedup, the number
+    that matters).
+    """
+    shingled = word_shingles(docs, n=n, text_col=text_col,
+                             id_col=id_col)
+    co = (
+        shingled.alias("sa")
+        .join(shingled.alias("sb"), on="shingle")
+        .select(F.col("sa.id").alias("id_a"),
+                F.col("sb.id").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    truth = (
+        exact_jaccard(shingled, co)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # reused by tp and fn counts
+    )
+    cand = lsh_candidate_pairs(
+        minhash_signatures(shingled, num_hashes=num_hashes),
+        bands=bands, rows_per_band=num_hashes // bands,
+    ).localCheckpoint(eager=True)
+    tp = truth.join(cand, on=["id_a", "id_b"])
+    return (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(tp.agg(F.count("*").alias("tp")))
+        .select(
+            "n_truth", "n_candidates", "tp",
+            (F.col("n_truth") - F.col("tp")).alias("fn"),
+            (F.col("n_candidates") - F.col("tp")).alias("fp"),
+            F.round(F.col("tp")
+                    / F.greatest(F.col("n_candidates"), F.lit(1)), 6)
+            .alias("precision"),
+            F.round(F.col("tp")
+                    / F.greatest(F.col("n_truth"), F.lit(1)), 6)
+            .alias("recall"),
+        )
+    )

@@ -555,3 +555,69 @@ def q_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return cut_duplicated_windows(docs, n=5).orderBy("doc_id")
+
+
+def _dedup_eval_sql() -> str:
+    mins = ", ".join(
+        f"min(md5('{s}|' || shingle)) AS h{s}" for s in range(_MH_HASHES)
+    )
+    rows_per_band = _MH_HASHES // _MH_BANDS
+    band_rows = []
+    for b in range(_MH_BANDS):
+        cols = " || '|' || ".join(
+            f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_rows.append(
+            f"SELECT id, {b} AS band, md5({cols}) AS bucket FROM sig")
+    buckets = " UNION ALL ".join(band_rows)
+    return _SHINGLE_SQL + f""",
+    sig AS (SELECT doc_id AS id, {mins} FROM sh GROUP BY doc_id),
+    buckets AS ({buckets}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+      HAVING count(*)::DOUBLE / (sa.n + sb.n - count(*)) >= 0.7
+    ),
+    m AS (
+      SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+             (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+             (SELECT count(*) FROM truth JOIN cand
+                USING (id_a, id_b))::BIGINT AS tp
+    )
+    SELECT n_truth, n_candidates, tp,
+           n_truth - tp AS fn,
+           n_candidates - tp AS fp,
+           round(tp::DOUBLE / greatest(n_candidates, 1), 6) AS precision,
+           round(tp::DOUBLE / greatest(n_truth, 1), 6) AS recall
+    FROM m
+    """
+
+
+@_register("dedup_candidate_eval", _dedup_eval_sql())
+def q_dedup_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning report on the planted pair corpus: exact-Jaccard
+    ground truth at 0.7 vs the 8-hash/4-band candidate set — both
+    the truth join and the banding simulated fully in SQL, so the
+    precision/recall arithmetic is pinned end to end."""
+    from ..operators.dedup import dedup_candidate_eval
+
+    return dedup_candidate_eval(
+        _pair_corpus(spark, sf_dir), threshold=0.7, n=3,
+        num_hashes=_MH_HASHES, bands=_MH_BANDS,
+    ).select(
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("fp").cast("long").alias("fp"),
+        "precision", "recall",
+    )
