@@ -86,3 +86,33 @@ def test_cross_wave_pair_found_only_via_index(spark, tmp_path):
     # wave 2's only match is a wave-1 vector: must come from the index
     assert _pairs(run_semdedup_incremental(
         spark, b, table, CENTS, commit_meta={"w": 1})) == [(10, 20)]
+
+
+def test_streaming_semdedup_matches_batch(spark, tmp_path):
+    import pathlib
+
+    from zzzarchived_arxiv_fulltext_spark.streaming.stream_dedup import (
+        run_streaming_semdedup,
+    )
+
+    vecs = _vectors(spark)
+    landing = tmp_path / "landing"
+    pathlib.Path(landing).mkdir()
+    # two files → (with maxFilesPerTrigger=64 and availableNow) one or
+    # two micro-batches; either way stream output must equal batch
+    vecs.where("vec_id <= 3").coalesce(1).write.parquet(
+        str(landing / "w0"))
+    vecs.where("vec_id > 3").coalesce(1).write.parquet(
+        str(landing / "w1"))
+
+    index = SnapshotTable(str(tmp_path / "idx"))
+    pairs = SnapshotTable(str(tmp_path / "pairs"))
+    run_streaming_semdedup(
+        spark, str(landing / "*"), str(tmp_path / "ckpt"),
+        index, pairs, CENTS, threshold=0.99)
+
+    got = sorted((r["id_a"], r["id_b"])
+                 for r in pairs.read(spark).collect())
+    want = _pairs(semantic_near_duplicates(vecs, CENTS, threshold=0.99))
+    assert got == want and got
+    assert index.read(spark).count() == 6

@@ -180,3 +180,65 @@ def run_streaming_line_dedup(
         query.awaitTermination()
         return query
     return writer.start()
+
+
+def run_streaming_semdedup(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    index_table: SnapshotTable,
+    pairs_table: SnapshotTable,
+    centroids,
+    schema: str = "vec_id long, embedding array<double>",
+    threshold: float = 0.95,
+    available_now: bool = True,
+):
+    """Standing SEMANTIC near-duplicate service over an embedding
+    stream: each micro-batch is assigned to the fixed k-means
+    centroids and paired against itself plus the committed cluster
+    index (``plans/incremental_semdedup``) — per-batch cost is
+    O(batch + same-cluster candidates), never O(history).
+
+    Same exactly-once contract as the other dedup services: every
+    append is stamped with the micro-batch id, replays read history
+    excluding their own stamp and skip duplicate appends. Centroids
+    are FIXED for the stream's lifetime (train via
+    ``plans/ivf_index.ensure_centroids`` and restart the stream to
+    rotate them — mixing centroid generations would silently split
+    clusters and lose history pairs).
+    """
+    from ..plans.incremental_semdedup import run_semdedup_incremental
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(landing_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        meta = {"stream_batch_id": batch_id}
+        if index_table.has_meta(meta) and pairs_table.has_meta(meta):
+            return  # full replay of a fully-committed batch
+        if batch_df.isEmpty():
+            return
+        # a crash BETWEEN the two appends must not lose the pairs:
+        # the plan is internally idempotent (reads history excluding
+        # its own stamp, skips its duplicate index append), so a
+        # partial replay recomputes the same pairs and commits only
+        # what is missing
+        pairs = run_semdedup_incremental(
+            spark, batch_df, index_table, centroids,
+            threshold=threshold, commit_meta=meta,
+        )
+        if not pairs_table.has_meta(meta):
+            pairs_table.append(pairs, meta=meta)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.start()
