@@ -210,3 +210,65 @@ def test_mixture_weights_broadcasts_scalar_total(spark):
     # the corpus-total join is a broadcast, and no full-frame window
     assert "BroadcastExchange" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_round6_operators_plan_shapes(spark):
+    import re
+
+    from zzzarchived_arxiv_fulltext_spark.operators.classifier import (
+        score_quality,
+    )
+    from zzzarchived_arxiv_fulltext_spark.operators.similarity import (
+        assign_nearest_centroid,
+        semantic_near_duplicates,
+    )
+    from zzzarchived_arxiv_fulltext_spark.operators.weblinks import (
+        crawl_frontier_batches,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id int, embedding array<double>")
+    cents = [[0.0, 1.0], [5.0, 1.0]]
+
+    # nearest-centroid assignment: pure projection, zero Exchange,
+    # zero Python
+    plan = _plan(assign_nearest_centroid(vecs, cents))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan and "InPandas" not in plan, plan
+
+    # SemDeDup pairs: the ONLY joins are keyed on centroid_id (no
+    # unkeyed cartesian), and no Python stage anywhere
+    plan = _plan(semantic_near_duplicates(vecs, cents, threshold=0.9))
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan and "InPandas" not in plan, plan
+
+    # classifier scoring: the weight table broadcasts; the corpus side
+    # never does
+    scored = score_quality(
+        spark.createDataFrame([(1, "a b c")], "doc_id int, text string"),
+        [0.1] * 16, 0.0)
+    plan = _plan(scored)
+    assert "BroadcastHashJoin" in plan, plan
+
+    # frontier scheduling: exactly one window, partitioned by host —
+    # never a global (empty-key) sort
+    urls = spark.createDataFrame(
+        [("https://h.example/a", 1.0)], "url string, score double")
+    plan = _plan(crawl_frontier_batches(urls))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_dsir_broadcasts_models_not_corpus(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    raw = spark.createDataFrame(
+        [(i, "w x y z") for i in range(6)], "doc_id int, text string")
+    target = raw.where("doc_id = 0")
+    plan = _plan(dsir_importance_weights(raw, target, buckets=8))
+    # the log-ratio model table (<= buckets rows) must broadcast into
+    # the scoring join
+    assert "BroadcastHashJoin" in plan, plan
