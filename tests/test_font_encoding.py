@@ -149,3 +149,67 @@ def test_differences_junk_safe(junk):
     pdf = build_pdf(b"BT /F1 12 Tf 72 720 Td (AB) Tj ET", font)
     parse_font_encodings(pdf)
     extract_pdf_page_texts(pdf)
+
+
+def build_pdf_with_objstm(content: bytes, *objstm_bodies: bytes,
+                          binds: str = None) -> bytes:
+    """Like build_pdf, but the font (and page/pages) objects travel
+    INSIDE a Flate-compressed /Type /ObjStm stream — the PDF 1.5+
+    layout real writers emit — so nothing but the content stream and
+    the ObjStm itself is visible lexically."""
+    import zlib
+
+    cont_num = 50
+    names = (binds.split() if binds
+             else ["F%d" % (i + 1) for i in range(len(objstm_bodies))])
+    font_nums = list(range(1, len(objstm_bodies) + 1))
+    fdict = b" ".join(b"/%s %d 0 R" % (n.encode(), num)
+                      for n, num in zip(names, font_nums))
+    page = (b"<< /Type /Page /Parent 99 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << %s >> >> /Contents %d 0 R >>"
+            % (fdict, cont_num))
+    packed = list(zip(font_nums, objstm_bodies)) + [(60, page)]
+    offsets, body = [], bytearray()
+    for num, b in packed:
+        offsets.append((num, len(body)))
+        body += b + b"\n"
+    header = b" ".join(b"%d %d" % p for p in offsets) + b"\n"
+    payload = zlib.compress(header + bytes(body))
+    out = bytearray(b"%PDF-1.5\n")
+    out += (b"9 0 obj\n<< /Type /ObjStm /N %d /First %d "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n"
+            % (len(packed), len(header), len(payload)))
+    out += payload + b"\nendstream\nendobj\n"
+    out += (b"%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            % (cont_num, len(content), content))
+    out += b"trailer\n<< /Root 61 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def test_differences_inside_object_stream_decode():
+    content = b"BT /F1 12 Tf 72 720 Td (AB ab \310) Tj ET"
+    pdf = build_pdf_with_objstm(content, DIFF_FONT)
+    # the font dict is only reachable through the /ObjStm expansion
+    assert parse_font_encodings(pdf) == {}  # invisible lexically...
+    from zzzarchived_arxiv_fulltext_spark.functions.pdf_text import (
+        expand_object_streams,
+    )
+
+    assert parse_font_encodings(expand_object_streams(pdf))  # ...found
+    assert extract_pdf_page_texts(pdf) == ["αβ Γγ ﬁ"]
+
+
+def test_expand_object_streams_idempotent_and_junk_safe():
+    from zzzarchived_arxiv_fulltext_spark.functions.pdf_text import (
+        expand_object_streams,
+    )
+
+    pdf = build_pdf_with_objstm(b"BT (x) Tj ET", DIFF_FONT)
+    once = expand_object_streams(pdf)
+    assert expand_object_streams(once) == once
+    # plain PDFs pass through byte-identical
+    plain = build_pdf(b"BT (x) Tj ET", DIFF_FONT)
+    assert expand_object_streams(plain) == plain
+    # corrupt ObjStm payloads are skipped, never raised
+    broken = pdf.replace(b"stream\n", b"stream\n\x00\x01", 1)
+    expand_object_streams(broken)

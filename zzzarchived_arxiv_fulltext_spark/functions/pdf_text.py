@@ -88,6 +88,72 @@ def iter_streams(pdf: bytes) -> Iterator[bytes]:
         pos = end + len(b"endstream")
 
 
+_OBJSTM_MARK = b"\n%__objstm_expanded__\n"
+
+
+def expand_object_streams(pdf: bytes) -> bytes:
+    """``pdf`` plus synthesized ``N 0 obj … endobj`` text for every
+    object carried inside a ``/Type /ObjStm`` compressed object
+    stream (PDF 1.5+).
+
+    Per spec only NON-stream objects live in object streams, so page
+    CONTENT extraction never needs this — but modern writers put the
+    page tree, font dicts, and ``/Encoding /Differences`` dicts there,
+    where the lexical dictionary scanners (``parse_font_encodings``,
+    ``pdf_page_image_counts``) cannot see them. Appending the decoded
+    objects in plain ``obj``-header form makes every byte-scanning
+    parser ObjStm-aware at once, with zero change to their logic.
+
+    Idempotent (a marker comment prevents re-expansion); malformed
+    object streams are skipped, never raised.
+    """
+    if _OBJSTM_MARK in pdf:
+        return pdf
+    extra = bytearray()
+    pos = 0
+    while True:
+        m = _STREAM_RE.search(pdf, pos)
+        if not m:
+            break
+        start = m.end()
+        end = pdf.find(b"endstream", start)
+        if end < 0:
+            break
+        pos = end + len(b"endstream")
+        d = m.group(1)
+        if b"/ObjStm" not in d:
+            continue
+        try:
+            lm = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", d)
+            raw = pdf[start:end]
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+                raw = raw[:-1]
+            if lm and start + int(lm.group(1)) <= end:
+                raw = pdf[start:start + int(lm.group(1))]
+            data = _apply_filters(raw, d)
+            nm = re.search(rb"/N\s+(\d+)", d)
+            fm = re.search(rb"/First\s+(\d+)", d)
+            if not (data and nm and fm):
+                continue
+            n, first = int(nm.group(1)), int(fm.group(1))
+            ints = re.findall(rb"\d+", data[:first])[:2 * n]
+            pairs = [(int(ints[i]), int(ints[i + 1]))
+                     for i in range(0, len(ints) - 1, 2)]
+            body = data[first:]
+            for k, (num, off) in enumerate(pairs):
+                stop = (pairs[k + 1][1] if k + 1 < len(pairs)
+                        else len(body))
+                extra += (b"%d 0 obj\n" % num) + body[off:stop].strip()
+                extra += b"\nendobj\n"
+        except Exception:
+            continue
+    if not extra:
+        return pdf
+    return pdf + _OBJSTM_MARK + bytes(extra)
+
+
 # /Filter value: a single name or an array of names (a chain)
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _NAME_TOKEN_RE = re.compile(rb"/([A-Za-z0-9]+)")
@@ -953,6 +1019,11 @@ def extract_pdf_page_texts(pdf: bytes) -> List[str]:
         dec = decrypt_pdf(pdf)
         if dec is not None:
             pdf = dec
+    # surface objects hidden in /ObjStm compressed streams (page
+    # tree, font dicts, /Differences) to the lexical scanners; the
+    # ObjStm streams themselves contain no text operators, so the
+    # content iteration below is unaffected
+    pdf = expand_object_streams(pdf)
     cmap = parse_tounicode_cmaps(pdf)
     fontmaps = parse_font_encodings(pdf)
     pages = []

@@ -75,6 +75,12 @@ def build_pdf_spans(doc_id: str, data: bytes,
     images degrade to trailing media spans — offsets stay dense and
     text order is unaffected either way.
     """
+    if data:
+        # page tree / XObject dicts may live inside /ObjStm streams
+        # (PDF 1.5+): surface them once for both image scans
+        from ..functions.pdf_text import expand_object_streams
+
+        data = expand_object_streams(data)
     per_page = pdf_page_image_counts(data) if data else []
     n_images = count_pdf_images(data) if data else 0
     spans: List[dict] = []
