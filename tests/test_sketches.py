@@ -1,0 +1,49 @@
+"""KMV cardinality sketch: exactness below k, accuracy above k,
+partition invariance, mergeability."""
+
+from zzzarchived_arxiv_fulltext_spark.operators.sketches import (
+    kmv_distinct,
+    kmv_union_estimate,
+)
+
+
+def test_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in ["a", "b", "c", "a", "b"]], "v string")
+    row = kmv_distinct(df, "v", k=16).collect()[0]
+    assert row["n_seen"] == 3
+    assert row["est_distinct"] == 3.0  # exact when the sketch isn't full
+
+
+def test_estimate_within_tolerance_above_k(spark):
+    n = 5000
+    df = spark.createDataFrame([(f"tok{i}",) for i in range(n)],
+                               "v string")
+    row = kmv_distinct(df, "v", k=256).collect()[0]
+    assert row["n_seen"] == 256
+    # KMV relative error ~ 1/sqrt(k) ≈ 6%; allow 4 sigma
+    assert abs(row["est_distinct"] - n) / n < 0.25
+
+
+def test_partition_invariance(spark):
+    rows = [(f"t{i % 700}",) for i in range(3000)]
+    df1 = spark.createDataFrame(rows, "v string").repartition(1)
+    df16 = spark.createDataFrame(rows, "v string").repartition(16)
+    a = kmv_distinct(df1, "v", k=64).collect()[0]
+    b = kmv_distinct(df16, "v", k=64).collect()[0]
+    assert a == b  # bit-identical regardless of layout
+
+
+def test_grouped_and_union_merge(spark):
+    df = spark.createDataFrame(
+        [("en", f"w{i}") for i in range(300)]
+        + [("de", f"w{i}") for i in range(100, 500)],
+        "lang string, v string")
+    per = {r["lang"]: r for r in
+           kmv_distinct(df, "v", k=64, group_cols=["lang"]).collect()}
+    assert set(per) == {"en", "de"}
+    union = kmv_union_estimate(
+        df.where("lang = 'en'"), df.where("lang = 'de'"), "v",
+        k=64).collect()[0]
+    # true union cardinality is 500 (overlap 100..299)
+    assert abs(union["est_distinct"] - 500) / 500 < 0.5

@@ -478,3 +478,53 @@ def q_quality_classifier_scores(spark: SparkSession,
     w, b = train_quality_classifier(pos, neg, buckets=16, steps=2,
                                     lr=1.0)
     return score_quality(docs, w, b).orderBy("doc_id")
+
+
+@_register(
+    "kmv_distinct_tokens",
+    """
+    WITH tok AS (
+      SELECT lang,
+             unnest(list_filter(string_split(text, ' '),
+                                t -> t != '')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT DISTINCT lang,
+             ('0x' || substr(md5(tok), 1, 13))::BIGINT
+               / 4503599627370496.0 AS h
+      FROM tok
+    ),
+    r AS (
+      SELECT lang, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+      FROM h
+    ),
+    a AS (
+      SELECT lang, count(*) AS n_seen, max(h) AS kth
+      FROM r WHERE rn <= 64 GROUP BY lang
+    )
+    SELECT lang, n_seen::BIGINT AS n_seen,
+           round(kth, 9) AS kth_min,
+           round(CASE WHEN n_seen < 64 THEN n_seen::DOUBLE
+                      ELSE 63.0 / kth END, 6) AS est_distinct
+    FROM a ORDER BY lang
+    """,
+)
+def q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language KMV (k-minimum-values) distinct-token estimate,
+    k=64: cardinality sketching that is DETERMINISTIC and
+    engine-portable (the k smallest md5 hashes are a pure function of
+    the token set), so unlike HyperLogLog the estimate itself is
+    oracle-pinned to the digit."""
+    from ..operators.sketches import kmv_distinct
+
+    toks = _docs(spark, sf_dir).select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "),
+                     lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    return kmv_distinct(toks, "tok", k=64,
+                        group_cols=["lang"]).orderBy("lang")
