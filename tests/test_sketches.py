@@ -47,3 +47,47 @@ def test_grouped_and_union_merge(spark):
         k=64).collect()[0]
     # true union cardinality is 500 (overlap 100..299)
     assert abs(union["est_distinct"] - 500) / 500 < 0.5
+
+
+def test_cm_sketch_never_underestimates(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    rows = [("hot",)] * 500 + [(f"cold{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string")
+    sk = cm_sketch(df, "v", width=64, depth=4)
+    assert sk.count() <= 4 * 64  # bounded metadata by construction
+    probes = spark.createDataFrame(
+        [("hot",), ("cold0",), ("never_seen",)], "v string")
+    got = {r["item"]: r["est_count"]
+           for r in cm_estimate(sk, probes, "v", width=64,
+                                depth=4).collect()}
+    assert got["hot"] >= 500          # CM never underestimates
+    assert got["cold0"] >= 1
+    assert got["hot"] <= 500 + 200    # collisions bound the excess
+    assert got["never_seen"] <= 200
+
+
+def test_cm_sketch_merges_by_sum(spark):
+    from pyspark.sql import functions as F
+
+    from zzzarchived_arxiv_fulltext_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)], "v string")
+    b = spark.createDataFrame([("x",)] * 7, "v string")
+    merged = (
+        cm_sketch(a, "v", width=32, depth=3)
+        .unionByName(cm_sketch(b, "v", width=32, depth=3))
+        .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cm_sketch(a.unionByName(b), "v", width=32, depth=3)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    got = cm_estimate(merged, spark.createDataFrame([("x",)], "v string"),
+                      "v", width=32, depth=3).collect()[0]
+    assert got["est_count"] >= 12

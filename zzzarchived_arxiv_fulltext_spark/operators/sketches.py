@@ -80,3 +80,66 @@ def kmv_union_estimate(df_a: DataFrame, df_b: DataFrame,
     both = df_a.select(F.col(value_col)).unionByName(
         df_b.select(F.col(value_col)))
     return kmv_distinct(both, value_col, k=k)
+
+
+def _cm_bucket(col, row: int, width: int) -> "F.Column":
+    """Row-seeded md5 bucket (SQL twin:
+    ('0x' || substr(md5(row || '|' || x), 1, 8))::BIGINT % width)."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{row}|"), col.cast("string"))), 1, 8),
+        16, 10)
+    return F.pmod(h.cast("bigint"), F.lit(width))
+
+
+def cm_sketch(df: DataFrame, value_col: str, width: int = 1024,
+              depth: int = 4) -> DataFrame:
+    """Count-min sketch of ``value_col``'s frequencies: (row, bucket,
+    cnt), ``depth × width`` rows total regardless of corpus size.
+
+    Deterministic and engine-portable for the same reason as KMV (the
+    md5 hash family), so estimates are oracle-checkable — unlike
+    sampled counters. Mergeable by summing counters bucket-wise
+    (union two sketches = one groupBy-sum), which is what makes it a
+    per-increment structure: commit the delta's sketch, add on read.
+
+    Scale shape: one explode-free projection per depth row + one
+    map-side-combinable aggregation; the result is bounded metadata.
+    """
+    rows = [
+        df.select(F.lit(r).alias("row"),
+                  _cm_bucket(F.col(value_col), r, width).alias("bucket"))
+        for r in range(depth)
+    ]
+    all_rows = rows[0]
+    for r in rows[1:]:
+        all_rows = all_rows.unionByName(r)
+    return (
+        all_rows.groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_estimate(sketch: DataFrame, items: DataFrame,
+                value_col: str, width: int = 1024,
+                depth: int = 4) -> DataFrame:
+    """(item, est_count): count-min point estimate — the MIN over the
+    depth rows of each item's bucket counter (an overestimate bounded
+    by n/width with probability 1 - 2^-depth). ``items`` is small by
+    contract (the probes you care about); the sketch side is bounded,
+    so the join broadcasts it."""
+    probes = items.select(F.col(value_col).alias("item")).distinct()
+    exploded = probes.select(
+        "item",
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     _cm_bucket(F.col("item"), r, width).alias("bucket"))
+            for r in range(depth)
+        ])).alias("_p"),
+    ).select("item", "_p.row", "_p.bucket")
+    return (
+        exploded.join(F.broadcast(sketch), on=["row", "bucket"],
+                      how="left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long")
+             .alias("est_count"))
+    )

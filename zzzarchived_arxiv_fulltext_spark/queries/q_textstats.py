@@ -528,3 +528,61 @@ def q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kmv_distinct(toks, "tok", k=64,
                         group_cols=["lang"]).orderBy("lang")
+
+
+@_register(
+    "cm_sketch_heavy_hitters",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '),
+                                t -> t != '')) AS tok
+      FROM documents
+    ),
+    sk AS (
+      SELECT r.r AS row,
+             ('0x' || substr(md5(r.r::VARCHAR || '|' || tok), 1, 8))
+               ::BIGINT % 512 AS bucket,
+             count(*) AS cnt
+      FROM tok, (SELECT unnest(range(0, 4)) AS r) r
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT DISTINCT tok AS item FROM tok
+      WHERE tok IN ('a', 'the', 'row', 'spark', 'zzzz_absent')
+      UNION ALL SELECT 'zzzz_absent'
+    ),
+    pe AS (
+      SELECT DISTINCT p.item, r.r AS row,
+             ('0x' || substr(md5(r.r::VARCHAR || '|' || p.item), 1, 8))
+               ::BIGINT % 512 AS bucket
+      FROM probes p, (SELECT unnest(range(0, 4)) AS r) r
+    )
+    SELECT pe.item,
+           min(coalesce(sk.cnt, 0))::BIGINT AS est_count
+    FROM pe LEFT JOIN sk USING (row, bucket)
+    GROUP BY pe.item
+    ORDER BY pe.item
+    """,
+)
+def q_cm_sketch_heavy_hitters(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for probe tokens (plus one
+    guaranteed-absent probe whose estimate must be whatever collision
+    mass its buckets carry — the documented overestimate semantics),
+    the whole depth-4/width-512 sketch simulated in SQL. Deterministic
+    because the hash family is md5, not a seeded RNG."""
+    from ..operators.sketches import cm_estimate, cm_sketch
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "),
+                     lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    sketch = cm_sketch(toks, "tok", width=512, depth=4)
+    probes = toks.where(
+        F.col("tok").isin("a", "the", "row", "spark", "zzzz_absent")
+    ).unionByName(
+        spark.createDataFrame([("zzzz_absent",)], "tok string"))
+    return cm_estimate(sketch, probes, "tok", width=512,
+                       depth=4).orderBy("item")
