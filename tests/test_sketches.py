@@ -91,3 +91,45 @@ def test_cm_sketch_merges_by_sum(spark):
     got = cm_estimate(merged, spark.createDataFrame([("x",)], "v string"),
                       "v", width=32, depth=3).collect()[0]
     assert got["est_count"] >= 12
+
+
+def test_kmv_overlap_estimates_jaccard(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    a = spark.createDataFrame([(f"w{i}",) for i in range(400)],
+                              "v string")
+    b = spark.createDataFrame([(f"w{i}",) for i in range(200, 600)],
+                              "v string")
+    row = kmv_overlap(a, b, "v", k=128).collect()[0]
+    # truth: |inter|=200, |union|=600, jaccard=1/3
+    assert abs(row["jaccard_est"] - 1 / 3) < 0.15
+    assert abs(row["union_est"] - 600) / 600 < 0.3
+    assert abs(row["intersection_est"] - 200) / 200 < 0.5
+    # exact when the union fits in the sketch
+    small = kmv_overlap(
+        spark.createDataFrame([("x",), ("y",)], "v string"),
+        spark.createDataFrame([("y",), ("z",)], "v string"),
+        "v", k=128).collect()[0]
+    assert small["n_seen"] == 3
+    assert small["jaccard_est"] == round(1 / 3, 6)
+    assert small["intersection_est"] == 1.0
+
+
+def test_global_kmv_plans_a_heap_not_a_global_sort(spark):
+    import contextlib
+    import io
+
+    from zzzarchived_arxiv_fulltext_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    df = spark.createDataFrame([(f"t{i}",) for i in range(100)],
+                               "v string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        kmv_distinct(df, "v", k=8).explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan

@@ -54,9 +54,14 @@ def kmv_distinct(df: DataFrame, value_col: str, k: int = 256,
     hashed = df.select(
         *groups, kmv_hash(F.col(value_col)).alias("_h")
     ).dropDuplicates(groups + ["_h"])
-    w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy("_h")
-    topk = hashed.withColumn("_r", F.row_number().over(w)) \
-                 .where(F.col("_r") <= k)
+    if groups:
+        w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy("_h")
+        topk = hashed.withColumn("_r", F.row_number().over(w)) \
+                     .where(F.col("_r") <= k)
+    else:
+        # global sketch: TakeOrdered heap (per-partition top-k merged
+        # on the driver), NEVER a single-partition window sort
+        topk = hashed.orderBy("_h").limit(k)
     agg = topk.groupBy(*groups).agg(
         F.count("*").alias("n_seen"),
         F.max("_h").alias("kth_min"),
@@ -142,4 +147,53 @@ def cm_estimate(sketch: DataFrame, items: DataFrame,
         .groupBy("item")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long")
              .alias("est_count"))
+    )
+
+
+def kmv_overlap(df_a: DataFrame, df_b: DataFrame, value_col: str,
+                k: int = 256) -> DataFrame:
+    """One row: (jaccard_est, union_est, intersection_est) between
+    two corpora's value sets — corpus-level overlap screening (e.g.
+    "how contaminated is this crawl slice by the benchmark corpus?")
+    at sketch cost, before paying for exact decontamination.
+
+    Theta-sketch-style estimator: take the k smallest hashes of the
+    UNION; the fraction of those present in both sets estimates the
+    Jaccard similarity, and jaccard × union-estimate gives the
+    intersection size. Deterministic for the usual md5 reason — the
+    oracle pins all three numbers exactly.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    # the union's k smallest hashes are each within their own set's k
+    # smallest (union ⊇ each side ⇒ union_kth ≤ side_kth), so both
+    # sides reduce to bounded k-row sketches via TakeOrdered heaps
+    # BEFORE any join — no global sort, no full-set shuffle; the
+    # membership flags stay exact for every hash that survives.
+    ha = (df_a.select(kmv_hash(F.col(value_col)).alias("_h"))
+          .dropDuplicates(["_h"]).orderBy("_h").limit(k)
+          .withColumn("_ina", F.lit(1)))
+    hb = (df_b.select(kmv_hash(F.col(value_col)).alias("_h"))
+          .dropDuplicates(["_h"]).orderBy("_h").limit(k)
+          .withColumn("_inb", F.lit(1)))
+    both = ha.join(hb, on="_h", how="full").select(
+        "_h",
+        F.coalesce("_ina", F.lit(0)).alias("_ina"),
+        F.coalesce("_inb", F.lit(0)).alias("_inb"),
+    )
+    topk = both.orderBy("_h").limit(k)  # ≤ 2k rows reach this
+    agg = topk.agg(
+        F.count("*").alias("n_seen"),
+        F.max("_h").alias("_kth"),
+        F.sum(F.col("_ina") * F.col("_inb")).alias("_inter"),
+    )
+    union_est = F.when(
+        F.col("n_seen") < k, F.col("n_seen").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("_kth"))
+    jac = F.col("_inter") / F.col("n_seen")
+    return agg.select(
+        F.col("n_seen").cast("long").alias("n_seen"),
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(union_est, 6).alias("union_est"),
+        F.round(jac * union_est, 6).alias("intersection_est"),
     )

@@ -586,3 +586,69 @@ def q_cm_sketch_heavy_hitters(spark: SparkSession,
         spark.createDataFrame([("zzzz_absent",)], "tok string"))
     return cm_estimate(sketch, probes, "tok", width=512,
                        depth=4).orderBy("item")
+
+
+@_register(
+    "kmv_corpus_overlap",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '),
+                                t -> t != '')) AS tok
+      FROM documents
+    ),
+    ha AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(tok), 1, 13))::BIGINT
+               / 4503599627370496.0 AS h
+      FROM tok WHERE doc_id % 2 = 0
+      ORDER BY h LIMIT 64
+    ),
+    hb AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(tok), 1, 13))::BIGINT
+               / 4503599627370496.0 AS h
+      FROM tok WHERE doc_id % 2 = 1
+      ORDER BY h LIMIT 64
+    ),
+    ab AS (
+      SELECT coalesce(ha.h, hb.h) AS h,
+             CASE WHEN ha.h IS NULL THEN 0 ELSE 1 END AS ina,
+             CASE WHEN hb.h IS NULL THEN 0 ELSE 1 END AS inb
+      FROM ha FULL JOIN hb ON ha.h = hb.h
+      ORDER BY 1 LIMIT 64
+    ),
+    a AS (
+      SELECT count(*) AS n_seen, max(h) AS kth,
+             sum(ina * inb) AS inter
+      FROM ab
+    )
+    SELECT n_seen::BIGINT AS n_seen,
+           round(inter::DOUBLE / n_seen, 6) AS jaccard_est,
+           round(CASE WHEN n_seen < 64 THEN n_seen::DOUBLE
+                      ELSE 63.0 / kth END, 6) AS union_est,
+           round((inter::DOUBLE / n_seen)
+                 * CASE WHEN n_seen < 64 THEN n_seen::DOUBLE
+                        ELSE 63.0 / kth END, 6) AS intersection_est
+    FROM a
+    """,
+)
+def q_kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style overlap between the even-doc and odd-doc
+    token vocabularies: union top-k with exact membership flags (the
+    union's k smallest are within each side's k smallest), Jaccard =
+    flagged fraction. The corpus-level contamination screen, pinned
+    to the digit by the oracle."""
+    from ..operators.sketches import kmv_overlap
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "),
+                     lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    return kmv_overlap(
+        toks.where(F.col("doc_id") % 2 == 0),
+        toks.where(F.col("doc_id") % 2 == 1),
+        "tok", k=64)
