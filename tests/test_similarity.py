@@ -196,3 +196,28 @@ def test_semantic_near_duplicates_hot_cluster_cap(spark):
     uncapped = semantic_near_duplicates(
         df, cents, threshold=0.99, max_cluster_size=None)
     assert uncapped.where("id_a < 10").count() > 0
+
+
+def test_hashed_doc_vectors_feed_semdedup(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.similarity import (
+        hashed_doc_vectors,
+        semantic_near_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "alpha beta gamma delta"),          # exact dup of 1
+         (3, "totally different words here"),
+         (4, "alpha beta gamma delta epsilon")],  # near but not exact
+        "doc_id int, text string")
+    vecs = hashed_doc_vectors(docs, dim=32, id_col="doc_id")
+    rows = {r["doc_id"]: r["embedding"] for r in vecs.collect()}
+    assert all(len(v) == 32 for v in rows.values())
+    assert rows[1] == rows[2]          # identical text → identical vector
+    # unit norm
+    assert abs(sum(x * x for x in rows[1]) - 1.0) < 1e-9
+    cents = [rows[1], rows[3]]
+    pairs = semantic_near_duplicates(
+        vecs.withColumnRenamed("doc_id", "vec_id"), cents,
+        threshold=0.999)
+    assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(1, 2)]

@@ -527,3 +527,53 @@ def semantic_near_duplicates(
         .where(cos >= threshold)
         .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
     )
+
+
+def hashed_doc_vectors(df: DataFrame, dim: int = 64,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       normalize: bool = True) -> DataFrame:
+    """(id, embedding: array<double>): feature-hashed bag-of-words
+    document vectors — v[b] = term frequency of md5 bucket b,
+    optionally L2-normalized.
+
+    The model-free embedding: every similarity operator in this
+    module (brute-force cosine, LSH/IVF ANN, SemDeDup, quantization)
+    works on these vectors with no external model, which is often all
+    corpus-dedup needs (near-identical texts share bucket profiles).
+    Deterministic in the text alone — the same md5 ``hash_bucket``
+    family as DSIR and the classifier, so the three share features.
+
+    Scale shape: one explode + one (id, bucket) aggregation + one
+    per-doc map build; each doc's map is ≤ dim entries, the dense
+    array is a pure JVM transform. One shuffle on the id.
+    """
+    from .sampling import hash_bucket
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "),
+                     lambda t: t != F.lit(""))
+        ).alias("_tok"),
+    )
+    counts = (
+        toks.select(id_col, hash_bucket(F.col("_tok"), dim).alias("_b"))
+        .groupBy(id_col, "_b").agg(F.count("*").alias("_c"))
+    )
+    packed = counts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(
+                F.col("_b").cast("int"), F.col("_c").cast("double")))
+        ).alias("_m"),
+        F.sum("_c").cast("double").alias("_n"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.coalesce(
+            F.element_at("_m", b.cast("int")), F.lit(0.0)) / F.col("_n"),
+    )
+    if normalize:
+        norm = F.sqrt(F.aggregate(
+            vec, F.lit(0.0), lambda acc, x: acc + x * x))
+        vec = F.transform(vec, lambda x: x / norm)
+    return packed.select(F.col(id_col), vec.alias("embedding"))

@@ -1073,3 +1073,58 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("id_b").cast("long").alias("id_b"), "cos")
         .orderBy("id_a", "id_b")
     )
+
+
+@_register(
+    "hashed_doc_vectors",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '),
+                                t -> t != '')) AS tok
+      FROM documents
+    ),
+    bk AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 32 AS b
+      FROM tok
+    ),
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(c)::DOUBLE AS n FROM cnt GROUP BY 1),
+    tf AS (
+      SELECT cnt.doc_id, b, c / n AS v
+      FROM cnt JOIN tot USING (doc_id)
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS l2 FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           count(*)::BIGINT AS nnz,
+           round(sum((v / l2) * (v / l2)), 6) AS unit_norm_sq,
+           round(sum((v / l2) * (b + 1)), 6) AS probe
+    FROM tf JOIN nrm USING (doc_id)
+    GROUP BY tf.doc_id
+    ORDER BY tf.doc_id
+    """,
+)
+def q_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document vectors (dim=32, L2-normalized),
+    verified through scalar projections: nnz, the unit-norm check,
+    and a linear probe sum(v[b]*(b+1)) that pins EVERY component —
+    a wrong value in any coordinate shifts the probe. Computed from
+    the actual array column, so the dense-vector build (map lookup +
+    JVM transform) is what's under test."""
+    from ..operators.similarity import hashed_doc_vectors
+
+    vecs = hashed_doc_vectors(_docs(spark, sf_dir), dim=32)
+    v = F.col("embedding")
+    probe = F.aggregate(
+        F.zip_with(v, F.sequence(F.lit(1), F.lit(32)),
+                   lambda x, i: x * i.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nnz = F.size(F.filter(v, lambda x: x > 0))
+    norm_sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    return vecs.select(
+        "doc_id",
+        nnz.cast("long").alias("nnz"),
+        F.round(norm_sq, 6).alias("unit_norm_sq"),
+        F.round(probe, 6).alias("probe"),
+    ).orderBy("doc_id")
