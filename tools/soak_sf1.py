@@ -10,7 +10,7 @@ documents on this box before anyone trusts the 100x story.
 
 Prints one JSON line per stage plus a final summary (documented in
 SCALE.md). Runs ONE Spark app; never run concurrently with another
-bench (numbers become noise — see CLAUDE.md).
+bench (numbers become noise).
 """
 
 import json
