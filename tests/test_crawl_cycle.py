@@ -110,3 +110,30 @@ def test_replayed_cycle_commits_nothing_new(spark, tmp_path):
     assert counts["new"] == 1
     assert log.read(spark).count() == 1
     assert spans.read(spark).count() == 1
+
+
+def test_streaming_crawl_service(spark, tmp_path):
+    import pathlib
+
+    from zzzarchived_arxiv_fulltext_spark.streaming.stream_extract import (
+        run_streaming_crawl,
+    )
+
+    landing = tmp_path / "frontier"
+    pathlib.Path(landing).mkdir()
+    _frontier(spark, [("https://a.example/p1", 2.0)]) \
+        .coalesce(1).write.parquet(str(landing / "w0"))
+    # second wave re-delivers p1 (must not refetch) and adds p2
+    _frontier(spark, [("https://a.example/p1", 9.0),
+                      ("https://a.example/p2", 1.0)]) \
+        .coalesce(1).write.parquet(str(landing / "w1"))
+
+    log = SnapshotTable(str(tmp_path / "slog"))
+    spans = SnapshotTable(str(tmp_path / "sspans"))
+    run_streaming_crawl(
+        spark, str(landing / "*"), str(tmp_path / "sckpt"),
+        log, spans, fetcher=_make_fetcher())
+
+    urls = sorted(r["url"] for r in log.read(spark).collect())
+    assert urls == ["https://a.example/p1", "https://a.example/p2"]
+    assert spans.read(spark).count() == 2

@@ -65,7 +65,12 @@ def run_crawl_cycle(
     """Run one cycle; returns the funnel counts."""
     counts: Dict[str, int] = {"frontier": frontier.count()}
 
-    fresh = frontier
+    # collapse duplicate frontier URLs first (re-discovered links are
+    # the common case): keep the max priority — deterministic, and a
+    # URL is fetched at most once per cycle even before history exists
+    fresh = frontier.groupBy(url_col).agg(
+        F.max(score_col).alias(score_col))
+    counts["unique"] = fresh.count()
     if fetch_log.snapshots():
         seen = (fetch_log.read_excluding_meta(spark, commit_meta,
                                               schema=LOG_SCHEMA)
