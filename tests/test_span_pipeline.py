@@ -277,3 +277,61 @@ def test_span_extraction_diff(spark):
     assert out["dup"]["n_common"] == 1
     assert out["dup"]["n_removed"] == 1 and out["dup"]["n_added"] == 0
     assert out["dup"]["common_prefix"] == 1
+
+
+def test_span_integrity_flags_each_violation(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.span_audit import (
+        span_doc_flags,
+        span_integrity_report,
+    )
+
+    def span(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref,
+                "offset": off}
+
+    rows = [
+        ("clean", [span("text", "a", None, 0),
+                   span("media", None, "m://1", 1)]),
+        ("gap", [span("text", "a", None, 0),
+                 span("text", "b", None, 2)]),
+        ("dup", [span("text", "a", None, 0),
+                 span("text", "b", None, 0)]),
+        ("leak", [span("text", "a", "m://x", 0)]),
+        ("mtext", [span("media", "oops", "m://y", 0)]),
+        ("weird", [span("blob", "a", None, 0)]),
+        ("empty", []),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    flags = {r["doc_id"]: r for r in span_doc_flags(df).collect()}
+    assert flags["clean"]["offsets_not_dense"] == 0
+    assert all(flags["clean"][c] == 0 for c in (
+        "bad_text_span", "bad_media_span", "unknown_kind", "empty_spans"))
+    assert flags["gap"]["offsets_not_dense"] == 1
+    assert flags["dup"]["offsets_not_dense"] == 1
+    assert flags["leak"]["bad_text_span"] == 1
+    assert flags["mtext"]["bad_media_span"] == 1
+    assert flags["weird"]["unknown_kind"] == 1
+    assert flags["empty"]["empty_spans"] == 1
+    report = {r["violation"]: r["n_docs"]
+              for r in span_integrity_report(df).collect()}
+    assert report == {"offsets_not_dense": 2, "bad_text_span": 1,
+                      "bad_media_span": 1, "unknown_kind": 1,
+                      "empty_spans": 1, "clean": 1}
+
+
+def test_span_integrity_clean_on_real_fixture(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.span_audit import (
+        span_integrity_report,
+    )
+    from zzzarchived_arxiv_fulltext_spark.sources.fixtures import (
+        spans_table,
+    )
+
+    df = spans_table(spark, 80, seed=3)
+    report = {r["violation"]: r["n_docs"]
+              for r in span_integrity_report(df).collect()}
+    assert report["clean"] == 80
+    assert sum(v for k, v in report.items() if k != "clean") == 0

@@ -1068,3 +1068,60 @@ def q_span_extraction_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "span_integrity_audit",
+    """
+    WITH c AS (SELECT doc_id % 6 AS cls FROM documents)
+    SELECT * FROM (
+      SELECT 'offsets_not_dense' AS violation,
+             (SELECT count(*) FROM c WHERE cls = 1)::BIGINT AS n_docs
+      UNION ALL SELECT 'bad_text_span',
+             (SELECT count(*) FROM c WHERE cls = 2)::BIGINT
+      UNION ALL SELECT 'bad_media_span',
+             (SELECT count(*) FROM c WHERE cls = 3)::BIGINT
+      UNION ALL SELECT 'unknown_kind',
+             (SELECT count(*) FROM c WHERE cls = 4)::BIGINT
+      UNION ALL SELECT 'empty_spans',
+             (SELECT count(*) FROM c WHERE cls = 5)::BIGINT
+      UNION ALL SELECT 'clean',
+             (SELECT count(*) FROM c WHERE cls = 0)::BIGINT
+    ) ORDER BY violation
+    """,
+)
+def q_span_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (kind, text, media_ref, order) invariant auditor on planted
+    violations: doc_id % 6 selects exactly one violation class (or
+    clean), so every class count has a closed form while the real
+    array-lambda flag logic runs against genuine span structs."""
+    from ..operators.span_audit import span_integrity_report
+
+    span_t = ("array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    spans = F.expr(f"""
+      CASE CAST(doc_id % 6 AS INT)
+        WHEN 1 THEN array(
+          named_struct('kind','text','text',text,
+                       'media_ref',CAST(NULL AS STRING),'offset',0),
+          named_struct('kind','media','text',CAST(NULL AS STRING),
+                       'media_ref','m://a','offset',2))
+        WHEN 2 THEN array(
+          named_struct('kind','text','text',text,
+                       'media_ref','m://leak','offset',0))
+        WHEN 3 THEN array(
+          named_struct('kind','media','text','leaked text',
+                       'media_ref','m://b','offset',0))
+        WHEN 4 THEN array(
+          named_struct('kind','blob','text',text,
+                       'media_ref',CAST(NULL AS STRING),'offset',0))
+        WHEN 5 THEN CAST(array() AS {span_t})
+        ELSE array(
+          named_struct('kind','text','text',text,
+                       'media_ref',CAST(NULL AS STRING),'offset',0),
+          named_struct('kind','media','text',CAST(NULL AS STRING),
+                       'media_ref','m://c','offset',1))
+      END
+    """)
+    planted = _docs(spark, sf_dir).select("doc_id", spans.alias("spans"))
+    return span_integrity_report(planted).orderBy("violation")
