@@ -114,3 +114,64 @@ def test_full_pipeline_end_to_end(spark, tmp_path):
     doc_tokens = sum(len(r["text"].split()) for r in repaired.collect())
     assert stream_tokens == doc_tokens           # nothing lost/invented
     assert sum(1 for r in packed if not r["complete"]) <= 1
+
+
+def test_mixed_format_corpus_to_extraction(spark, tmp_path):
+    """The arXiv shape end to end: one raw corpus holding PDF, PS,
+    TeX, HTML, and plain-text payloads → format router → span
+    integrity gate → extraction job → per-format success accounting.
+    Every format must reach 'succeeded' with its text recovered."""
+    from pyspark.sql import functions as F
+
+    from zzzarchived_arxiv_fulltext_spark.functions.pdf_text import (
+        make_simple_pdf,
+    )
+    from zzzarchived_arxiv_fulltext_spark.functions.ps_text import (
+        make_simple_ps,
+    )
+    from zzzarchived_arxiv_fulltext_spark.functions.tex_text import (
+        make_simple_tex,
+    )
+    from zzzarchived_arxiv_fulltext_spark.operators.span_audit import (
+        span_doc_flags,
+    )
+    from zzzarchived_arxiv_fulltext_spark.plans.extraction_job import (
+        run_extraction,
+    )
+    from zzzarchived_arxiv_fulltext_spark.sources.ingest_router import (
+        raw_to_spans,
+    )
+    from zzzarchived_arxiv_fulltext_spark.sources.tables import (
+        SnapshotTable,
+    )
+
+    line = "the quick brown fox jumps over the lazy dog"
+    payloads = {
+        "pdf": make_simple_pdf([[line]]),
+        "ps": make_simple_ps([[line]]),
+        "tex": make_simple_tex([line]).encode(),
+        "html": (b"<html><body><main><p>" + line.encode()
+                 + b"</p></main></body></html>"),
+        "text": line.encode(),
+    }
+    raw = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "doc_id string, payload binary")
+
+    routed = raw_to_spans(raw)
+    fmts = {r["doc_id"]: r["format"] for r in routed.collect()}
+    assert fmts == {k: k for k in payloads}
+
+    # integrity gate: the router must emit invariant-clean spans
+    flags = span_doc_flags(routed)
+    bad = flags.where(
+        (F.col("offsets_not_dense") + F.col("bad_text_span")
+         + F.col("bad_media_span") + F.col("unknown_kind")) > 0)
+    assert bad.count() == 0
+
+    out = SnapshotTable(str(tmp_path / "extracted"))
+    run_extraction(spark, routed.select("doc_id", "spans"), out)
+    got = {r["doc_id"]: r for r in out.read(spark).collect()}
+    assert all(got[k]["status"] == "succeeded" for k in payloads)
+    for k in payloads:
+        assert "quick brown fox" in got[k]["plain_text"], k
