@@ -137,3 +137,24 @@ def test_streaming_crawl_service(spark, tmp_path):
     urls = sorted(r["url"] for r in log.read(spark).collect())
     assert urls == ["https://a.example/p1", "https://a.example/p2"]
     assert spans.read(spark).count() == 2
+
+
+def test_cycle_honors_robots(spark, tmp_path):
+    log = SnapshotTable(str(tmp_path / "log5"))
+    spans = SnapshotTable(str(tmp_path / "spans5"))
+    frontier = _frontier(spark, [
+        ("https://a.example/private/x", 5.0),
+        ("https://a.example/public/y", 4.0),
+        ("https://norobots.example/z", 3.0),
+    ])
+    robots = spark.createDataFrame(
+        [("a.example",
+          "User-agent: *\nDisallow: /private/\nAllow: /public/")],
+        "host string, robots_txt string")
+    counts = run_crawl_cycle(
+        spark, frontier, log, spans, robots=robots,
+        fetcher=_make_fetcher(), commit_meta={"cycle": 0})
+    assert counts["after_robots"] == 2
+    urls = {r["url"] for r in log.read(spark).collect()}
+    assert urls == {"https://a.example/public/y",
+                    "https://norobots.example/z"}

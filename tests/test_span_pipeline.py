@@ -335,3 +335,37 @@ def test_span_integrity_clean_on_real_fixture(spark):
               for r in span_integrity_report(df).collect()}
     assert report["clean"] == 80
     assert sum(v for k, v in report.items() if k != "clean") == 0
+
+
+def test_run_extraction_quarantines_invalid_spans(spark, tmp_path):
+    from zzzarchived_arxiv_fulltext_spark.plans.extraction_job import (
+        run_extraction,
+    )
+    from zzzarchived_arxiv_fulltext_spark.sources.tables import (
+        SnapshotTable,
+    )
+
+    def span(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref,
+                "offset": off}
+
+    rows = [
+        ("good", [span("text", "hello clean doc", None, 0)]),
+        ("dup_off", [span("text", "a", None, 0),
+                     span("text", "b", None, 0)]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    out = SnapshotTable(str(tmp_path / "out"))
+    run_extraction(spark, df, out, validate_spans=True)
+    got = {r["doc_id"]: r for r in out.read(spark).collect()}
+    assert got["good"]["status"] == "succeeded"
+    assert got["dup_off"]["status"] == "failed"
+    assert got["dup_off"]["failure_class"] == "invalid_spans"
+    assert got["dup_off"]["extractor_version"] == \
+        got["good"]["extractor_version"]
+    # quarantined docs are committed work: a second increment over the
+    # same input has nothing to do
+    assert run_extraction(spark, df, out, validate_spans=True) is None

@@ -54,6 +54,7 @@ def run_crawl_cycle(
     url_col: str = "url",
     score_col: str = "score",
     blocklist: Optional[DataFrame] = None,
+    robots: Optional[DataFrame] = None,
     per_host_per_batch: int = 1,
     max_batches: Optional[int] = None,
     fetcher=None,
@@ -85,6 +86,16 @@ def run_crawl_cycle(
             fresh.withColumn("_cid", F.monotonically_increasing_id()),
             blocklist, url_col=url_col, id_col="_cid").drop("_cid")
         counts["after_blocklist"] = fresh.count()
+
+    if robots is not None:
+        # host-level REP consent: robots is a (host, robots_txt)
+        # frame (from an earlier fetch of each host's /robots.txt)
+        from ..operators.weblinks import filter_robots_disallowed
+
+        fresh = filter_robots_disallowed(
+            fresh.withColumn("_rid", F.monotonically_increasing_id()),
+            robots, url_col=url_col, id_col="_rid").drop("_rid")
+        counts["after_robots"] = fresh.count()
 
     scheduled = crawl_frontier_batches(
         fresh, url_col=url_col, score_col=score_col,

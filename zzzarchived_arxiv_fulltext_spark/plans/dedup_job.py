@@ -119,3 +119,42 @@ def run_dedup(
             connected_keep_list(committed, corpus, id_col=id_col)
         )
     return snap
+
+
+def quality_keep_list(pairs: DataFrame, corpus: DataFrame,
+                      score_col: str,
+                      id_col: str = "doc_id",
+                      max_iterations: int = 10) -> DataFrame:
+    """(id, cluster, keep): per duplicate cluster keep the HIGHEST
+    ``score_col`` member (ties break to the lowest id) instead of the
+    arbitrary min-id representative.
+
+    Min-id keeper election (``connected_keep_list``) discards quality
+    information: when a near-dup cluster holds one clean extraction
+    and three mojibake replicas, production pipelines keep the clean
+    one. This reuses the same all-DataFrame label-propagation fixpoint
+    for the cluster labels, then elects by (score desc, id asc) — one
+    extra join + one map-side-combinable argmax per cluster, driver
+    state zero. The id-ascending tie-break uses numeric negation, so
+    ids must be numeric (the corpus contract everywhere else here).
+    """
+    labels = connected_keep_list(
+        pairs, corpus, id_col=id_col, max_iterations=max_iterations
+    ).select("id", "cluster")
+    scored = labels.join(
+        corpus.select(F.col(id_col).alias("id"), F.col(score_col)),
+        on="id")
+    best = (
+        scored.groupBy("cluster")
+        .agg(F.max_by(
+            F.col("id"),
+            F.struct(F.col(score_col).alias("s"),
+                     (-F.col("id")).alias("i"))).alias("_best"))
+    )
+    return (
+        scored.join(best, on="cluster")
+        .select(
+            "id", "cluster", F.col(score_col),
+            (F.col("id") == F.col("_best")).cast("int").alias("keep"),
+        )
+    )

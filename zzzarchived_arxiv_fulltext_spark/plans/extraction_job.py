@@ -147,18 +147,67 @@ def run_extraction(
     lineage_table: Optional[SnapshotTable] = None,
     parallelism: Optional[int] = None,
     force: bool = False,
+    validate_spans: bool = False,
 ) -> Optional[int]:
     """Run one extraction increment; returns the committed snapshot id.
 
     Returns None when there was nothing to do (all documents already
     committed at this extractor version).
+
+    ``validate_spans=True`` gates the input on the span-table
+    invariant (``operators/span_audit``): documents violating it are
+    NOT extracted — extraction over undefined span order would commit
+    silently-reordered text — but they still commit, empty-spanned,
+    with ``failure_class='invalid_spans'``, so the P2
+    failure-isolation accounting covers them and a later re-ingest +
+    ``force`` run can repair them.
     """
     if lineage_table is not None:
         _heal_lineage(spark, output_table, lineage_table)
     todo = pending_documents(input_df, output_table, spark, force=force)
     if todo.isEmpty():
         return None
-    extracted = extract_documents(todo, parallelism=parallelism)
+    if validate_spans:
+        from ..operators.span_audit import span_doc_flags
+
+        flags = span_doc_flags(todo).select(
+            "doc_id",
+            ((F.col("offsets_not_dense") + F.col("bad_text_span")
+              + F.col("bad_media_span") + F.col("unknown_kind")) > 0
+             ).alias("_invalid"),
+        )
+        todo = todo.join(flags, on="doc_id")
+        invalid = todo.where("_invalid").drop("_invalid")
+        todo = todo.where("NOT _invalid").drop("_invalid")
+        extracted = extract_documents(todo, parallelism=parallelism)
+        if not invalid.isEmpty():
+            quarantined = invalid.select(
+                "doc_id",
+                F.expr("CAST(array() AS array<struct<kind:string,"
+                       "text:string,media_ref:string,order:int>>)")
+                .alias("spans"),
+                F.lit(None).cast("string").alias("plain_text"),
+                F.lit(None).cast("string").alias("psv_text"),
+                F.lit("failed").alias("status"),
+                F.lit("invalid_spans").alias("failure_class"),
+                F.lit(None).cast("string").alias("via"),
+                F.lit(0).cast("long").alias("chars_extracted"),
+                F.lit(0).cast("int").alias("n_text_spans"),
+                F.lit(0).cast("int").alias("n_media_spans"),
+                # same version stamp as real extractions: the
+                # skip-if-exists anti-join keys on it, so a NULL here
+                # would re-pend the quarantined doc every increment
+                F.lit(EXTRACTOR_VERSION).alias("extractor_version"),
+                F.current_timestamp().alias("started"),
+                F.current_timestamp().alias("ended"),
+                F.spark_partition_id().alias("partition_id"),
+                *([F.col("bucket")] if "bucket" in invalid.columns
+                  else [F.lit(DEFAULT_BUCKET).alias("bucket")]),
+            )
+            extracted = extracted.unionByName(
+                quarantined.select(*extracted.columns))
+    else:
+        extracted = extract_documents(todo, parallelism=parallelism)
 
     snap_id = output_table.append(extracted)
 

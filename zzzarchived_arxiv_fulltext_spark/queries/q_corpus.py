@@ -1125,3 +1125,35 @@ def q_span_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
     planted = _docs(spark, sf_dir).select("doc_id", spans.alias("spans"))
     return span_integrity_report(planted).orderBy("violation")
+
+
+@_register(
+    "quality_keep_list",
+    """
+    WITH c AS (
+      SELECT doc_id, (doc_id // 10) * 10 AS cluster,
+             (doc_id * 7) % 13 AS score
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id AS id, cluster, score,
+           CASE WHEN row_number() OVER (
+                  PARTITION BY cluster
+                  ORDER BY score DESC, doc_id) = 1
+                THEN 1 ELSE 0 END AS keep
+    FROM c ORDER BY id
+    """,
+)
+def q_quality_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper election on planted decade star-clusters
+    (each base doc pairs with its 9 followers) with closed-form scores
+    (doc_id*7 % 13): the label-propagation fixpoint must find the
+    decade clusters and the argmax must keep the best-scored member,
+    ties to the lowest id — exactly the oracle's window."""
+    from ..plans.dedup_job import quality_keep_list
+
+    docs = _docs(spark, sf_dir).where("doc_id < 50").select(
+        "doc_id", ((F.col("doc_id") * 7) % 13).alias("score"))
+    pairs = docs.where(F.col("doc_id") % 10 != 0).select(
+        (F.col("doc_id") - F.col("doc_id") % 10).alias("id_a"),
+        F.col("doc_id").alias("id_b"))
+    return quality_keep_list(pairs, docs, "score").orderBy("id")
