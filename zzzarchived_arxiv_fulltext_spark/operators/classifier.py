@@ -23,7 +23,7 @@ through in one pass.
 """
 
 import math
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -63,9 +63,12 @@ def train_quality_classifier(
     buckets: int = 256,
     steps: int = 5,
     lr: float = 1.0,
+    init: Optional[Tuple[List[float], float]] = None,
 ) -> Tuple[List[float], float]:
     """Full-batch logistic regression: returns (weights[buckets],
-    bias). ``pos`` documents are label 1, ``neg`` label 0.
+    bias). ``pos`` documents are label 1, ``neg`` label 0. ``init``
+    warm-starts GD from committed (weights, bias) — the
+    train-once/serve-many retrain path (``plans/classifier_index``).
 
     Per step: score every doc with the current broadcast weights
     (join + agg), compute the residual ``sigmoid(z) - y``, and
@@ -84,8 +87,14 @@ def train_quality_classifier(
         .localCheckpoint(eager=True)
     )
     n_docs = labeled.select(id_col, "_y").distinct().count()
-    w = [0.0] * buckets
-    bias = 0.0
+    if init is not None:
+        if len(init[0]) != buckets:
+            raise ValueError(
+                f"init weights have {len(init[0])} buckets, "
+                f"expected {buckets}")
+        w, bias = list(init[0]), float(init[1])
+    else:
+        w, bias = [0.0] * buckets, 0.0
     spark = labeled.sparkSession
     for _ in range(steps):
         wdf = F.broadcast(spark.createDataFrame(
