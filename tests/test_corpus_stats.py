@@ -534,3 +534,30 @@ def test_bpe_encode_inverts_training_on_planted_corpus(spark):
         # trained merges (p,q) then (pq,r) → every repeat is [pqr, s]
         assert r["bpe_tokens"][:2] == ["pqr", "s"]
         assert r["n_bpe_tokens"] == 6
+
+
+def test_stupid_backoff_seen_vs_unseen(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        stupid_backoff_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b a c")], "doc_id int, text string")
+    score = spark.createDataFrame(
+        [(10, "a b"),      # seen bigram: S = c(a b)/c(a ·) = 2/3
+         (11, "b zz")],    # unseen bigram + OOV: hard backoff
+        "doc_id int, text string")
+    got = {r["id"]: r for r in
+           stupid_backoff_scores(train, score, alpha=0.4).collect()}
+    import math
+
+    # doc 10: token 'a' (doc-initial, no bigram: backoff to unigram),
+    # then bigram (a,b) = 2/3. T=6 tokens, V=3 → T+V=9; c(a)=3
+    exp10 = (math.log(0.4 * (3 + 1) / 9.0) + math.log(2 / 3)) / 2
+    assert abs(got[10]["avg_logscore"] - round(exp10, 6)) < 1e-6
+    # doc 11: 'b' initial → 0.4*(2+1)/9 ; (b,zz) unseen, zz OOV →
+    # 0.4*(0+1)/9
+    exp11 = (math.log(0.4 * 3 / 9.0) + math.log(0.4 / 9.0)) / 2
+    assert abs(got[11]["avg_logscore"] - round(exp11, 6)) < 1e-6
+    # seen-bigram doc must outscore the OOV doc
+    assert got[10]["avg_logscore"] > got[11]["avg_logscore"]

@@ -470,6 +470,29 @@ def corpus_diff(old: DataFrame, new: DataFrame,
     )
 
 
+def _token_pairs(df, text_col: str, id_col: str):
+    """(id, prev, cur) token bigram rows; prev NULL on doc-initial.
+
+    Alias-projected split (see word_shingles: an inlined split in a
+    lambda is O(words²·len) per row on giant documents).
+    """
+    ws = F.col("_ws")
+    ps = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 1),
+        lambda k: F.struct(
+            F.when(k > 0, F.element_at(ws, k)).alias("prev"),
+            F.element_at(ws, k + 1).alias("cur"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  F.split(F.col(text_col), " ").alias("_ws"))
+        .where(F.size(ws) >= 1)
+        .select("id", F.explode(ps).alias("p"))
+        .select("id", "p.prev", "p.cur")
+    )
+
+
 def lm_perplexity(train: DataFrame, score: DataFrame, lam: float = 0.7,
                   text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
@@ -500,23 +523,7 @@ def lm_perplexity(train: DataFrame, score: DataFrame, lam: float = 0.7,
         raise ValueError("lam must be in [0, 1)")
 
     def pairs(df):
-        # alias-projected split (see word_shingles: inlined split in a
-        # lambda is O(words²·len) per row on giant documents)
-        ws = F.col("_ws")
-        ps = F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 1),
-            lambda k: F.struct(
-                F.when(k > 0, F.element_at(ws, k)).alias("prev"),
-                F.element_at(ws, k + 1).alias("cur"),
-            ),
-        )
-        return (
-            df.select(F.col(id_col).alias("id"),
-                      F.split(F.col(text_col), " ").alias("_ws"))
-            .where(F.size(ws) >= 1)
-            .select("id", F.explode(ps).alias("p"))
-            .select("id", "p.prev", "p.cur")
-        )
+        return _token_pairs(df, text_col, id_col)
 
     tp = pairs(train)
     bigrams = (tp.where(F.col("prev").isNotNull())
@@ -753,3 +760,56 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
         F.substring(encoded, 2, F.length(encoded) - 2), B2 + B1)
     return df.withColumn(out_col, toks).withColumn(
         "n_bpe_tokens", F.size(out_col).cast("long"))
+
+
+def stupid_backoff_scores(train: DataFrame, score: DataFrame,
+                          alpha: float = 0.4,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Web-scale LM scoring with stupid backoff (Brants et al. 2007):
+    per token
+
+        S(w | prev) = c(prev w) / c(prev ·)        if the bigram is seen
+                      alpha * (c(w) + 1) / (T + V)  otherwise
+
+    — a hard backoff with a fixed penalty instead of interpolation.
+    At trillion-token training scale this is the published trade: no
+    normalization pass, no discount estimation, one count table per
+    order, and quality within a hair of Kneser-Ney. The add-one
+    unigram floor keeps OOV tokens finite (they are penalized, not
+    zeroed). Scores are NOT probabilities; the per-document summary
+    is the mean log-score (higher = more reference-like), comparable
+    across documents of any length.
+
+    Same scale shape as :func:`lm_perplexity`: map-side-combined
+    count tables joined onto the exploded score side with no forced
+    broadcast. Returns (id, n_tokens, avg_logscore).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    tp = _token_pairs(train, text_col, id_col)
+    bigrams = (tp.where(F.col("prev").isNotNull())
+               .groupBy("prev", "cur").agg(F.count("*").alias("bc")))
+    contexts = bigrams.groupBy("prev").agg(F.sum("bc").alias("uc"))
+    unigrams = tp.groupBy("cur").agg(F.count("*").alias("c"))
+    stats = unigrams.agg(
+        F.sum("c").alias("t"), F.count("*").alias("v")).first()
+    if stats["t"] is None:
+        raise ValueError("train corpus is empty — cannot fit the LM")
+    t_plus_v = float(stats["t"] + stats["v"])
+
+    sp = _token_pairs(score, text_col, id_col)
+    backoff = F.lit(alpha) * (
+        (F.coalesce(F.col("c"), F.lit(0)) + 1.0) / F.lit(t_plus_v))
+    s_tok = F.when(F.col("bc").isNotNull(),
+                   F.col("bc") / F.col("uc")).otherwise(backoff)
+    return (
+        sp.join(bigrams, on=["prev", "cur"], how="left")
+        .join(contexts, on="prev", how="left")
+        .join(unigrams, on="cur", how="left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(s_tok)), 6).alias("avg_logscore"),
+        )
+    )

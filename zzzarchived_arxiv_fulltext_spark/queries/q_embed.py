@@ -1128,3 +1128,54 @@ def q_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm_sq, 6).alias("unit_norm_sq"),
         F.round(probe, 6).alias("probe"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "stupid_backoff_scores",
+    """
+    WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+    sc AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 2),
+    tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM tr),
+    tp AS (
+      SELECT doc_id, CASE WHEN i > 1 THEN ws[i - 1] END AS prev,
+             ws[i] AS cur
+      FROM tw, UNNEST(range(1, len(ws) + 1)) AS t(i)
+    ),
+    bg AS (SELECT prev, cur, count(*) AS bc FROM tp
+           WHERE prev IS NOT NULL GROUP BY prev, cur),
+    ctx AS (SELECT prev, sum(bc) AS uc FROM bg GROUP BY prev),
+    ug AS (SELECT cur, count(*) AS c FROM tp GROUP BY cur),
+    st AS (SELECT (sum(c) + count(*))::DOUBLE AS tv FROM ug),
+    sw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM sc),
+    sp AS (
+      SELECT doc_id, CASE WHEN i > 1 THEN ws[i - 1] END AS prev,
+             ws[i] AS cur
+      FROM sw, UNNEST(range(1, len(ws) + 1)) AS t(i)
+    ),
+    j AS (
+      SELECT sp.doc_id,
+             CASE WHEN bg.bc IS NOT NULL THEN bg.bc / ctx.uc
+                  ELSE 0.4::DOUBLE * ((coalesce(ug.c, 0) + 1.0)
+                                      / (SELECT tv FROM st)) END AS s
+      FROM sp LEFT JOIN bg ON sp.prev = bg.prev AND sp.cur = bg.cur
+              LEFT JOIN ctx ON sp.prev = ctx.prev
+              LEFT JOIN ug ON sp.cur = ug.cur
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(avg(ln(s)), 6) AS avg_logscore
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff LM scoring on the same train/score quarter split
+    as the interpolated CCNet twin: seen bigrams score by raw
+    conditional frequency, unseen ones back off to alpha=0.4 times the
+    add-one unigram — the whole hard-backoff decision replayed in
+    SQL per token."""
+    from ..operators.corpus_stats import stupid_backoff_scores
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 4 == 0)
+    score = docs.where(F.col("doc_id") % 4 == 2)
+    return (stupid_backoff_scores(train, score, alpha=0.4)
+            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
