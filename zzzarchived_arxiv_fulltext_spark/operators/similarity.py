@@ -211,13 +211,18 @@ def embedding_near_duplicates(
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    )
+    # norm hoisted to one-per-vector (same O(pairs·dim) saving as the
+    # SemDeDup join); dot/(na·nb) is bit-identical to cosine()
+    ).withColumn("nrm", l2_norm(F.col("vec")))
     buckets_udf = _srp_buckets_udf(tables, planes, dim)
     b = (
         v.withColumn("_b", buckets_udf(F.col("vec")))
-        .select("id", "vec", F.posexplode("_b").alias("tbl", "bucket"))
+        .select("id", "vec", "nrm",
+                F.posexplode("_b").alias("tbl", "bucket"))
     )
     a, bb = b.alias("a"), b.alias("b")
+    cos = (dot(F.col("a.vec"), F.col("b.vec"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
     return (
         a.join(bb, (F.col("a.tbl") == F.col("b.tbl"))
                & (F.col("a.bucket") == F.col("b.bucket"))
@@ -225,7 +230,7 @@ def embedding_near_duplicates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
+            F.round(cos, 6).alias("cos"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("cos") >= threshold)
