@@ -59,18 +59,19 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    )
+    ).withColumn("qn", l2_norm(F.col("qvec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    )
+    ).withColumn("cn", l2_norm(F.col("cvec")))
+    # norms once per vector, dot only inside the cross join — the
+    # O(|corpus|·|queries|·dim) stage sheds two of its three folds
+    cos = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id", "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
-        )
+        .select("query_id", "neighbor_id",
+                F.round(cos, 6).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
@@ -159,11 +160,11 @@ def ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    )
+    ).withColumn("cn", l2_norm(F.col("cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    )
+    ).withColumn("qn", l2_norm(F.col("qvec")))
 
     buckets_udf = _srp_buckets_udf(tables, planes, dim)
 
@@ -179,12 +180,15 @@ def ann_topk(
     candidates = (
         cb.join(F.broadcast(qb), on=["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qvec", "cvec")
+        .select("query_id", "neighbor_id", "qvec", "cvec", "qn", "cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # norms hoisted to once per vector (before bucket explosion);
+    # candidates evaluate only the dot
+    cos = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
     scored = candidates.select(
         "query_id", "neighbor_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        F.round(cos, 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
