@@ -59,3 +59,20 @@ def test_short_doc_is_one_segment(spark):
     assert len(rows) == 1 and rows[0]["seg_text"].startswith("just")
     with pytest.raises(ValueError):
         segment_tokens(df, max_tokens=0)
+
+
+def test_iban_redaction(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.redact import (
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "pay DE89370400440532013000 or GB29NWBK60161331926819 now"),
+         (2, "no iban, just a phone +1 555-123-4567")],
+        "doc_id int, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["n_iban"] == 2
+    assert "<IBAN>" in got[1]["redacted"]
+    assert "DE89" not in got[1]["redacted"]
+    assert got[2]["n_iban"] == 0
+    assert got[2]["n_phone"] == 1  # phone still matches, not eaten

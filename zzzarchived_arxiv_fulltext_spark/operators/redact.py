@@ -25,6 +25,10 @@ PII_PATTERNS: List[Tuple[str, str, str]] = [
     ("url", r"https?://[^\s]+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # before phone on principle, though phone needs separators IBANs
+    # never carry; \b and the char classes mean the same thing in
+    # Java regex (Spark) and RE2 (the DuckDB oracle)
+    ("iban", r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b", "<IBAN>"),
     ("phone",
      r"(\+?\d{1,3}[-. (]{1,2})?\d{3}[-. )]{1,2}\d{3}[-. ]?\d{2,4}",
      "<PHONE>"),
@@ -41,7 +45,7 @@ def redact_text(text: Column) -> Column:
 
 def redact_pii(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
-    """(id, redacted, n_url, n_email, n_phone, n_ipv4).
+    """(id, redacted, n_url, n_email, n_ipv4, n_iban, n_phone).
 
     Counts are measured sequentially on the progressively redacted
     text, so e.g. emails inside already-redacted URLs are not

@@ -82,7 +82,8 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expand_abbreviations query)
 _PII_HEADER = (
     "Contact john.doe@example.com or https://ex.com/p?q=1 "
-    "call +1 (555) 123-4567 ip 192.168.1.10 then "
+    "call +1 (555) 123-4567 ip 192.168.1.10 "
+    "pay DE89370400440532013000 then "
 )
 
 
