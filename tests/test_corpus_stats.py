@@ -561,3 +561,21 @@ def test_stupid_backoff_seen_vs_unseen(spark):
     assert abs(got[11]["avg_logscore"] - round(exp11, 6)) < 1e-6
     # seen-bigram doc must outscore the OOV doc
     assert got[10]["avg_logscore"] > got[11]["avg_logscore"]
+
+
+def test_tokenizer_fertility_per_language(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        tokenizer_fertility,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", "p q p q"),      # 4 words → 2 'pq' tokens
+         (2, "en", "p q"),          # 2 words → 1
+         (3, "de", "x y z")],       # no merges apply: 3 → 3
+        "doc_id int, lang string, text string")
+    got = {r["lang"]: r for r in tokenizer_fertility(
+        df, [("p", "q")]).collect()}
+    assert got["en"]["n_words"] == 6 and got["en"]["n_bpe_tokens"] == 3
+    assert got["en"]["fertility"] == 0.5
+    assert got["de"]["fertility"] == 1.0
+    assert got["en"]["n_docs"] == 2

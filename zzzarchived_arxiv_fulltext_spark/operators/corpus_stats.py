@@ -813,3 +813,36 @@ def stupid_backoff_scores(train: DataFrame, score: DataFrame,
             F.round(F.avg(F.log(s_tok)), 6).alias("avg_logscore"),
         )
     )
+
+
+def tokenizer_fertility(df: DataFrame, merges,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        lang_col: str = "lang") -> DataFrame:
+    """(lang, n_docs, n_words, n_bpe_tokens, fertility): how many
+    subword tokens the tokenizer spends per whitespace word, per
+    language — THE acceptance metric for a multilingual vocabulary
+    (a tokenizer trained on English famously shatters other scripts
+    into characters; fertility quantifies exactly that before a
+    vocabulary ships).
+
+    Reuses :func:`bpe_encode` (JVM replace chain / Arrow batch per its
+    own size switch); the summary is one map-side-combinable
+    aggregation per language. Empty documents contribute zero to both
+    numerators.
+    """
+    words = F.size(F.filter(F.split(F.col(text_col), " "),
+                            lambda w: w != F.lit("")))
+    enc = bpe_encode(df, merges, text_col=text_col, id_col=id_col)
+    return (
+        enc.select(F.col(lang_col), words.alias("_w"),
+                   F.col("n_bpe_tokens").alias("_b"))
+        .groupBy(lang_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_w").cast("long").alias("n_words"),
+            F.sum("_b").cast("long").alias("n_bpe_tokens"),
+            F.round(F.sum("_b") / F.greatest(F.sum("_w"), F.lit(1)), 6)
+            .alias("fertility"),
+        )
+    )

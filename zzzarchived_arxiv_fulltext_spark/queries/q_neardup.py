@@ -621,3 +621,44 @@ def q_dedup_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp").cast("long").alias("fp"),
         "precision", "recall",
     )
+
+
+@_register(
+    "tokenizer_fertility",
+    """
+    WITH d AS (
+      SELECT lang, (doc_id % 3 + 2)::INT AS reps,
+             doc_id % 2 = 0 AS tail
+      FROM documents
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(4 * reps + CASE WHEN tail THEN 2 ELSE 0 END)::BIGINT
+             AS n_words,
+           sum(2 * reps + CASE WHEN tail THEN 1 ELSE 0 END)::BIGINT
+             AS n_bpe_tokens,
+           round(sum(2 * reps + CASE WHEN tail THEN 1 ELSE 0 END)
+                 / greatest(sum(4 * reps
+                                + CASE WHEN tail THEN 2 ELSE 0 END),
+                            1)::DOUBLE, 6) AS fertility
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility on the bpe_encode_apply planted corpus
+    ('p q r s' x reps + partial tail on even ids, merges [(p,q),
+    (pq,r)]): words and subword counts both have closed forms, so the
+    language-grouped ratio is pinned exactly."""
+    from ..operators.corpus_stats import tokenizer_fertility
+
+    reps = (F.col("doc_id") % 3 + 2).cast("int")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.concat(
+            F.array_join(F.array_repeat(F.lit("p q r s"), reps), " "),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit(" p q")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return tokenizer_fertility(
+        docs, [("p", "q"), ("pq", "r")]).orderBy("lang")
