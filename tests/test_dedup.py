@@ -354,3 +354,24 @@ def test_dedup_candidate_eval_counts(spark):
     assert r["recall"] == 1.0
     assert r["n_candidates"] >= 2
     assert r["fp"] == r["n_candidates"] - 2
+
+
+def test_cut_string_doc_ids(spark):
+    from zzzarchived_arxiv_fulltext_spark.operators.dedup import (
+        cut_duplicated_windows,
+    )
+
+    # alphanumeric ids (the input_hint doc_id:string shape): the old
+    # cast(doc_id as long)*1e6+pos site key produced NULLs here and
+    # broke keeper election; the struct key orders by (id, pos)
+    shared = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [("arXiv:2301.00001", f"one two three {shared} four"),
+         ("arXiv:2301.00002", f"seven eight {shared} nine")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           cut_duplicated_windows(df, n=5).collect()}
+    # lexicographically smaller id holds the keeper site
+    assert out["arXiv:2301.00001"]["n_tokens_removed"] == 0
+    assert out["arXiv:2301.00002"]["text"] == "seven eight nine"
+    assert out["arXiv:2301.00002"]["n_tokens_removed"] == 5

@@ -84,7 +84,28 @@ def build_spark(
         # decides whether 32 cores get work at all.
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
-        .config("spark.sql.files.openCostInBytes", "512k")
+        # openCost doubles as the FLOOR on split size for small inputs
+        # (maxSplitBytes = min(maxPartitionBytes, max(openCost,
+        # total/minPartitionNum))). 512k was kept after measuring a
+        # 16k floor: fanning sub-MB tables into 32 ~19KB tasks costs
+        # more in per-task scheduling (iterative queries pay it per
+        # job) than the extra cores return — see OPTIMIZATION_r07.md.
+        .config("spark.sql.files.openCostInBytes",
+                os.environ.get("SPARK_GRAFT_OPEN_COST", "512k"))
+        # InferFiltersFromGenerate infers `size(arr)>0 AND
+        # isnotnull(arr)` below every explode; filter pushdown then
+        # CLONES the whole array-building expression tree (split +
+        # transform + hash chains) into the filter, so each row pays
+        # the array computation 3x (measured 4.5x on the exact-
+        # substring family). Generate with outer=false already skips
+        # empty arrays, so the inferred filter is pure rework for
+        # every computed-array explode this engine runs (guide §4.4's
+        # duplicated-evaluation trap, JVM edition).
+        .config("spark.sql.optimizer.excludedRules",
+                os.environ.get(
+                    "SPARK_GRAFT_EXCLUDED_RULES",
+                    "org.apache.spark.sql.catalyst.optimizer."
+                    "InferFiltersFromGenerate"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # bucketed saveAsTable targets (plans/bucketed_tables) must
         # never land in the caller's cwd, and the default is PER-USER:

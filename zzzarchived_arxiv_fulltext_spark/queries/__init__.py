@@ -60,7 +60,12 @@ def _driver_staleness_order() -> list:
     from pathlib import Path
 
     latest: dict = {}  # name -> (round, passed)
-    root = Path(__file__).resolve().parent.parent
+    # CORRECTNESS_r*.json live at the REPO root: three levels up from
+    # queries/__init__.py (queries/ -> package -> repo). The r6 package
+    # split moved this file one level deeper and the old parent.parent
+    # silently globbed the package dir instead — the rotation became a
+    # no-op and the r6 driver sample was exactly registration order.
+    root = Path(__file__).resolve().parent.parent.parent
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", p.name)
         if not m:
