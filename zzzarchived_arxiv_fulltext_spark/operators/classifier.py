@@ -70,12 +70,15 @@ def train_quality_classifier(
     warm-starts GD from committed (weights, bias) — the
     train-once/serve-many retrain path (``plans/classifier_index``).
 
-    Per step: score every doc with the current broadcast weights
-    (join + agg), compute the residual ``sigmoid(z) - y``, and
-    aggregate the per-bucket gradient ``sum(residual * tf) / N`` in
-    one map-side-combinable pass. The labeled set is materialized
-    once (``localCheckpoint``) so the feature explode is not
-    recomputed every step. Driver state: ``buckets + 1`` doubles.
+    Per step: score every doc with the current weights INLINED as an
+    array literal (``element_at`` lookup — no broadcast exchange, no
+    join; guide §2.4), compute the residual ``sigmoid(z) - y``
+    (materialized via ``localCheckpoint`` — one doc-sized frame reused
+    by both the gradient join and the bias sum instead of recomputing
+    the scoring aggregation twice), then collect gradient AND bias in
+    ONE action (bias rides along as bucket -1). The labeled set is
+    materialized once so the feature explode is not recomputed every
+    step. Driver state: ``buckets + 1`` doubles.
     """
     labeled = (
         hashed_tf(pos, text_col, id_col, buckets)
@@ -95,30 +98,40 @@ def train_quality_classifier(
         w, bias = list(init[0]), float(init[1])
     else:
         w, bias = [0.0] * buckets, 0.0
-    spark = labeled.sparkSession
     for _ in range(steps):
-        wdf = F.broadcast(spark.createDataFrame(
-            [(b, w[b]) for b in range(buckets)], "bucket int, _w double"))
+        warr = F.array(*[F.lit(float(x)) for x in w])
         resid = (
-            labeled.join(wdf, on="bucket")
+            labeled
             .groupBy(id_col, "_y")
-            .agg(F.sum(F.col("tf") * F.col("_w")).alias("_z"))
+            .agg(F.sum(F.col("tf")
+                       * F.element_at(warr, F.col("bucket").cast("int") + 1)
+                       ).alias("_z"))
             .select(
-                id_col,
+                id_col, "_y",
                 (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("_z") + bias)))
                  - F.col("_y")).alias("_r"),
             )
+            .localCheckpoint(eager=True)  # reused by gradient + bias
         )
-        grad = (
-            labeled.join(resid, on=id_col)
+        # gradient rejoin carries _y in the key: two corpora with
+        # overlapping doc ids must not cross-match labels (a silent
+        # gradient corruption when pos/neg ids collide)
+        grad_rows = (
+            labeled.join(resid, on=[id_col, "_y"])
             .groupBy("bucket")
             .agg(F.sum(F.col("_r") * F.col("tf")).alias("_g"))
-            .collect()  # <= buckets rows
+            .unionByName(
+                resid.agg(F.sum("_r").alias("_g"))
+                .select(F.lit(-1).cast(
+                    labeled.schema["bucket"].dataType).alias("bucket"),
+                    "_g"))
+            .collect()  # <= buckets + 1 rows, ONE action
         )
-        bias_g = resid.agg(F.sum("_r")).collect()[0][0] or 0.0
-        for row in grad:
-            w[row["bucket"]] -= lr * row["_g"] / n_docs
-        bias -= lr * bias_g / n_docs
+        for row in grad_rows:
+            if row["bucket"] == -1:
+                bias -= lr * (row["_g"] or 0.0) / n_docs
+            else:
+                w[row["bucket"]] -= lr * row["_g"] / n_docs
     return w, bias
 
 
@@ -126,19 +139,19 @@ def score_quality(df: DataFrame, weights: List[float], bias: float,
                   text_col: str = "text", id_col: str = "doc_id"
                   ) -> DataFrame:
     """(id, quality_prob): sigmoid of the linear score under the
-    trained weights. Weight table (<= buckets rows) broadcasts; the
-    corpus streams through one explode + two aggregations. Docs with
-    no tokens score ``sigmoid(bias)``."""
+    trained weights. Weights are inlined as an array literal
+    (bounded tokenizer-style metadata — same contract as IVF
+    centroids), so scoring is one explode + two aggregations with no
+    broadcast exchange or join. Docs with no tokens score
+    ``sigmoid(bias)``."""
     buckets = len(weights)
-    spark = df.sparkSession
-    wdf = F.broadcast(spark.createDataFrame(
-        [(b, float(weights[b])) for b in range(buckets)],
-        "bucket int, _w double"))
+    warr = F.array(*[F.lit(float(x)) for x in weights])
     scored = (
         hashed_tf(df, text_col, id_col, buckets)
-        .join(wdf, on="bucket")
         .groupBy(id_col)
-        .agg(F.sum(F.col("tf") * F.col("_w")).alias("_z"))
+        .agg(F.sum(F.col("tf")
+                   * F.element_at(warr, F.col("bucket").cast("int") + 1)
+                   ).alias("_z"))
     )
     return (
         df.select(id_col).distinct()

@@ -646,7 +646,11 @@ def dedup_candidate_eval(
     that matters).
     """
     shingled = word_shingles(docs, n=n, text_col=text_col,
-                             id_col=id_col)
+                             id_col=id_col).localCheckpoint(eager=True)
+    # ^ consumed by the truth join (twice via exact_jaccard), the
+    # signature aggregation, and the sizes aggregation, across THREE
+    # actions (the two checkpoints below + the caller's) — without
+    # materialization the shingle explode+distinct reruns per action.
     co = (
         shingled.alias("sa")
         .join(shingled.alias("sb"), on="shingle")

@@ -433,6 +433,25 @@ def quantize_embeddings(df: DataFrame, scales=None,
     )
 
 
+def _centroid_dists(centroids, vec_col: str):
+    """(vector-as-double column, per-centroid squared-L2 array) — the
+    shared inlined-centroid assignment expression (deterministic
+    left-to-right DOUBLE folds; argmin = first position of the min)."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    cent = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.transform(
+        cent,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x),
+    )
+    return v, dists
+
+
 def assign_nearest_centroid(df: DataFrame, centroids,
                             vec_col: str = "embedding",
                             id_col: str = "vec_id",
@@ -457,18 +476,7 @@ def assign_nearest_centroid(df: DataFrame, centroids,
     through ``_nearest_centroid_udf`` instead — same semantics, one
     matmul per Arrow batch; a pytest pins the parity.
     """
-    if not centroids:
-        raise ValueError("centroids must be non-empty")
-    cent = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-    ])
-    v = F.col(vec_col).cast("array<double>")
-    dists = F.transform(
-        cent,
-        lambda c: F.aggregate(
-            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x),
-    )
+    v, dists = _centroid_dists(centroids, vec_col)
     return df.select(
         F.col(id_col),
         (F.array_position(dists, F.array_min(dists)) - 1)
@@ -505,18 +513,22 @@ def semantic_near_duplicates(
     ``plans.dedup_job.connected_keep_list`` (or drop ``id_b``
     greedily) for the keeper election.
     """
-    assigned = (
-        assign_nearest_centroid(df, centroids, vec_col=vec_col,
-                                id_col=id_col)
-        .select(id_col, "centroid_id")
-        .join(df.select(
-            id_col, F.col(vec_col).cast("array<double>").alias(vec_col)),
-            on=id_col)
-        # hoist the L2 norm to one-per-vector: computing cosine's two
-        # norms inside the pair join costs O(pairs · dim) twice over —
-        # measured 3x on the bench corpus (14.7 s → join-side dot only)
-        .withColumn("_nrm", l2_norm(F.col(vec_col)))
-    )
+    # assignment + vector + norm in ONE zero-shuffle projection: the
+    # old shape joined assign_nearest_centroid's output back to df on
+    # the id to re-attach the vector, which shuffled the corpus twice
+    # for no reason — the centroid table is inlined, so the nearest
+    # centroid is computable in the same projection that carries the
+    # vector (guide §2.4: remove shuffles outright). The L2 norm stays
+    # hoisted to one-per-vector: computing cosine's two norms inside
+    # the pair join costs O(pairs · dim) twice over — measured 3x on
+    # the bench corpus.
+    v, dists = _centroid_dists(centroids, vec_col)
+    assigned = df.select(
+        F.col(id_col),
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int").alias("centroid_id"),
+        v.alias(vec_col),
+    ).withColumn("_nrm", l2_norm(F.col(vec_col)))
     if max_cluster_size is not None:
         ok = (
             assigned.groupBy("centroid_id")
@@ -560,9 +572,17 @@ def hashed_doc_vectors(df: DataFrame, dim: int = 64,
     Deterministic in the text alone — the same md5 ``hash_bucket``
     family as DSIR and the classifier, so the three share features.
 
-    Scale shape: one explode + one (id, bucket) aggregation + one
-    per-doc map build; each doc's map is ≤ dim entries, the dense
-    array is a pure JVM transform. One shuffle on the id.
+    Scale shape: one explode + ONE map-side-combinable aggregation
+    computing all ``dim`` bucket counts as conditional sums (the
+    simhash bit-sum pattern — whole-stage codegen, no per-token rows
+    survive the map side), then a pure projection builds the dense
+    array. The previous shape paid a second exchange for a
+    (id, bucket) pre-aggregation plus a map build; a nested
+    higher-order-function histogram was tried and measured 3x SLOWER
+    than even that (HOFs are interpreted, not codegen'd). ``dim``
+    widens the aggregate expression, so like the inlined-centroid
+    assignment this is for feature-hashing dims up to a few hundred
+    (the contract everywhere in this module).
     """
     from .sampling import hash_bucket
 
@@ -575,22 +595,14 @@ def hashed_doc_vectors(df: DataFrame, dim: int = 64,
     )
     counts = (
         toks.select(id_col, hash_bucket(F.col("_tok"), dim).alias("_b"))
-        .groupBy(id_col, "_b").agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.count("*").cast("double").alias("_n"),
+             *[F.sum(F.when(F.col("_b") == b, 1).otherwise(0))
+               .cast("double").alias(f"_c{b}") for b in range(dim)])
     )
-    packed = counts.groupBy(id_col).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(
-                F.col("_b").cast("int"), F.col("_c").cast("double")))
-        ).alias("_m"),
-        F.sum("_c").cast("double").alias("_n"),
-    )
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda b: F.coalesce(
-            F.element_at("_m", b.cast("int")), F.lit(0.0)) / F.col("_n"),
-    )
+    vec = F.array(*[F.col(f"_c{b}") / F.col("_n") for b in range(dim)])
     if normalize:
         norm = F.sqrt(F.aggregate(
             vec, F.lit(0.0), lambda acc, x: acc + x * x))
         vec = F.transform(vec, lambda x: x / norm)
-    return packed.select(F.col(id_col), vec.alias("embedding"))
+    return counts.select(F.col(id_col), vec.alias("embedding"))

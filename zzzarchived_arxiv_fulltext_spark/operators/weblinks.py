@@ -302,9 +302,14 @@ def hits_scores(edges: DataFrame, iterations: int = 5,
     priors for corpus weighting).
 
     All-DataFrame alternating power iteration with L2 normalization:
-    each half-step is one equi-join + one aggregation; the norm is a
-    bounded scalar aggregate; ``localCheckpoint`` per half-step cuts
-    lineage. Returns (node, auth, hub) for every node.
+    each half-step is one equi-join + one aggregation; the norm stays
+    IN the plan as a broadcast one-row cross join instead of a
+    ``first()`` collect — a driver action per half-step forced every
+    round to materialize eagerly (2 jobs per iteration of pure
+    scheduling overhead on small graphs, and a driver round-trip at
+    any scale). ``localCheckpoint`` every second iteration still
+    bounds lineage/planning depth for long runs. Returns (node, auth,
+    hub) for every node.
     """
     if iterations < 1:
         raise ValueError("hits_scores needs iterations >= 1")
@@ -325,16 +330,21 @@ def hits_scores(edges: DataFrame, iterations: int = 5,
         full = nodes.join(raw, on="node", how="left").select(
             "node", F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col))
         norm = full.agg(
-            F.sqrt(F.sum(F.col(out_col) * F.col(out_col)))).first()[0]
-        return full.select(
-            "node",
-            (F.col(out_col) / F.lit(norm or 1.0)).alias(out_col)
-        ).localCheckpoint(eager=True)
+            F.sqrt(F.sum(F.col(out_col) * F.col(out_col))).alias("_nrm"))
+        safe = F.when(F.col("_nrm").isNull() | (F.col("_nrm") == 0.0),
+                      F.lit(1.0)).otherwise(F.col("_nrm"))
+        return full.crossJoin(F.broadcast(norm)).select(
+            "node", (F.col(out_col) / safe).alias(out_col))
 
     hubs = nodes.withColumn("hub", F.lit(1.0))
     auth = None
-    for _ in range(iterations):
-        auth = _spread(hubs, "hub", src_col, dst_col, "auth")
+    for i in range(iterations):
+        # auth feeds BOTH the next half-step and the final join, so it
+        # is materialized once per iteration (otherwise its subtree is
+        # evaluated twice per round); hubs feeds only the next round's
+        # auth and needs no checkpoint between actions.
+        auth = _spread(hubs, "hub", src_col, dst_col, "auth") \
+            .localCheckpoint(eager=True)
         hubs = _spread(auth, "auth", dst_col, src_col, "hub")
     return auth.join(hubs, on="node")
 
@@ -377,7 +387,7 @@ def page_rank(edges: DataFrame, iterations: int = 10,
         dangling_nodes = dangling_nodes.localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(iterations):
+    for it in range(iterations):
         # dangling nodes: rank mass with nowhere to go → uniform spread
         dangling = 0.0
         if has_dangling:
@@ -407,10 +417,16 @@ def page_rank(edges: DataFrame, iterations: int = 10,
                                                F.lit(0.0))).alias("rank"),
             )
         )
-        # One eager materialization per round: skipping it would make
-        # the next round RECOMPUTE this round's join+aggregate (double
-        # shuffle work at scale) just to save a local write.
-        ranks = ranks.localCheckpoint(eager=True)
+        # Materialization cadence: when the graph has dangling nodes
+        # the loop runs a driver action (`first`) per round, so the
+        # previous rounds MUST be checkpointed or round k recomputes
+        # rounds 1..k-1 (quadratic). Without dangling nodes there is
+        # no per-round action — the final action evaluates each
+        # round's join+aggregate exactly once as one deep DAG — so a
+        # checkpoint every round would only add a scheduling job; keep
+        # one every 4 rounds purely to bound plan depth.
+        if has_dangling or (it + 1) % 4 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -102,13 +102,25 @@ def corpus_prep_funnel(
     s2r = s2.withColumn("_rn", first_seen_rank())
     d_exact = s2r.where(F.col("_rn") > 1).select(
         "doc_id", F.lit(STAGE_EXACT).alias("stage"))
-    s3 = s2r.where(F.col("_rn") == 1).drop("_rn")
+    # s3 feeds FOUR consumers (the minhash pipeline, the near-dup
+    # semi/anti pair, and the split projection); the funnel union is
+    # one action, so without materialization each consumer recomputes
+    # the scan + quality/lang filters + the exact-dedup window.
+    # Materialize it once (guide §5) — same reason the near-dup id
+    # set is materialized: it is consumed by both the semi and the
+    # anti join, and its subtree is the whole shingle/minhash/LSH/
+    # verify pipeline.
+    s3 = s2r.where(F.col("_rn") == 1).drop("_rn") \
+        .localCheckpoint(eager=True)
 
     pairs = near_duplicates_minhash(
         s3.select("doc_id", "text"), threshold=near_threshold,
         num_hashes=num_hashes, bands=bands,
     )
-    near_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    near_ids = (
+        pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        .localCheckpoint(eager=True)
+    )
     d_near = s3.join(near_ids, on="doc_id", how="left_semi").select(
         "doc_id", F.lit(STAGE_NEAR).alias("stage"))
     s4 = s3.join(near_ids, on="doc_id", how="left_anti")

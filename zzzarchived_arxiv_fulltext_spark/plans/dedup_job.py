@@ -67,6 +67,12 @@ def connected_keep_list(pairs: DataFrame, corpus: DataFrame,
                          F.col("id_a").alias("dst"))
         )
         .distinct()
+        # every iteration joins against edges; without materialization
+        # each round recomputes the whole upstream pair pipeline
+        # (shingle -> minhash -> LSH -> verify) from scratch — measured
+        # ~2.5s/round saved on the bench corpus (guide §5: cut lineage
+        # when an intermediate is reused)
+        .localCheckpoint(eager=True)
     )
     labels = corpus.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
