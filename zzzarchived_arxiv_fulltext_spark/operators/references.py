@@ -44,33 +44,38 @@ def reference_entries(df: DataFrame, text_col: str = "text",
     Scale shape: one projection computes lines → heading index →
     block → entry array per row (regexp work is per-line inside a
     transform, never a re-split of the full text per element), then
-    one explode. Docs without a block produce no rows.
+    one explode. Docs without a block produce no rows — dropped BY
+    the explode (an ineligible doc's entry array is empty), never by
+    a ``where`` on the computed cut: a filter on a derived column
+    gets pushed below the projection with the full expression tree
+    substituted in, so every row would pay the line split + per-line
+    heading regex several times over (guide §4.4's duplicated-
+    evaluation trap, JVM edition — measured 4x on the bench corpus).
     """
     lines = F.split(F.col(text_col), "\n")
     base = df.select(F.col(id_col), lines.alias("_lines"))
     cut = F.expr(
         f"array_max(transform(sequence(1, size(_lines)), i -> "
         f"if(element_at(_lines, i) rlike '{_HEADING_RE}', i, 0)))")
-    guarded = (
-        base.withColumn("_cut", cut)
-        .withColumn(
-            "_cut",
-            F.when(
-                (F.col("_cut") > 0)
-                & ((F.lit(1.0) - F.col("_cut") / F.size("_lines"))
-                   <= F.lit(max_refs_fraction)),
-                F.col("_cut"),
-            ).otherwise(F.lit(0)),
-        )
-        .where(F.col("_cut") > 0)
+    guarded = base.withColumn("_cut", cut).select(
+        F.col(id_col), F.col("_lines"),
+        F.when(
+            (F.col("_cut") > 0)
+            & ((F.lit(1.0) - F.col("_cut") / F.size("_lines"))
+               <= F.lit(max_refs_fraction)),
+            F.col("_cut"),
+        ).otherwise(F.lit(0)).alias("_cut"),
     )
     block = F.expr(
-        "array_join(slice(_lines, _cut + 1, size(_lines) - _cut), '\\n')")
+        "if(_cut > 0, "
+        "array_join(slice(_lines, _cut + 1, size(_lines) - _cut), '\\n'), "
+        "'')")
     entries = F.expr(
-        r"filter(split(_block, '(?=\\[[0-9]+\\])'), "
-        r"e -> e rlike '^\\[[0-9]+\\]')")
+        r"if(_cut > 0, filter(split(_block, '(?=\\[[0-9]+\\])'), "
+        r"e -> e rlike '^\\[[0-9]+\\]'), "
+        r"cast(array() as array<string>))")
     return (
-        guarded.select(F.col(id_col), block.alias("_block"))
+        guarded.select(F.col(id_col), F.col("_cut"), block.alias("_block"))
         .select(F.col(id_col), F.explode(entries).alias("_e"))
         .select(
             F.col(id_col),

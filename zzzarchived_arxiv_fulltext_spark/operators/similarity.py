@@ -529,6 +529,15 @@ def semantic_near_duplicates(
         .cast("int").alias("centroid_id"),
         v.alias(vec_col),
     ).withColumn("_nrm", l2_norm(F.col(vec_col)))
+    # one explicit exchange on the join key, shared by all three
+    # consumers (the cluster-size cap, and both sides of the pair
+    # self-join — guide §2.4 "two operations keyed the same way share
+    # one exchange"): without it each consumer re-evaluates the k×dim
+    # assignment projection, and the self-join would shuffle on
+    # centroid_id anyway. Per-cluster co-location (≤k populated
+    # partitions) is inherent to any cluster-keyed pair join; the
+    # hot-cluster cap below is what bounds it.
+    assigned = assigned.repartition("centroid_id")
     if max_cluster_size is not None:
         ok = (
             assigned.groupBy("centroid_id")

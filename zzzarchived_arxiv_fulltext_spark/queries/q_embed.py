@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ._registry import ORACLES, QUERIES, _docs, _events, _register
+from ._registry import ORACLES, QUERIES, _docs, _events, _register, _sorted
 from .q_textstats import _DECON_ORACLE  # noqa: E402
 
 __all__ = ["QUERIES", "ORACLES"]
@@ -1067,11 +1067,11 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.where(F.col("vec_id") < 8)
         .orderBy("vec_id").collect()
     ]
-    return (
+    return _sorted(
         semantic_near_duplicates(allv, cents, threshold=0.9)
         .select(F.col("id_a").cast("long").alias("id_a"),
-                F.col("id_b").cast("long").alias("id_b"), "cos")
-        .orderBy("id_a", "id_b")
+                F.col("id_b").cast("long").alias("id_b"), "cos"),
+        "id_a", "id_b",
     )
 
 
@@ -1122,12 +1122,12 @@ def q_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0), lambda acc, x: acc + x)
     nnz = F.size(F.filter(v, lambda x: x > 0))
     norm_sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
-    return vecs.select(
+    return _sorted(vecs.select(
         "doc_id",
         nnz.cast("long").alias("nnz"),
         F.round(norm_sq, 6).alias("unit_norm_sq"),
         F.round(probe, 6).alias("probe"),
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 @_register(

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ._registry import ORACLES, QUERIES, _docs, _events, _register
+from ._registry import ORACLES, QUERIES, _docs, _events, _register, _sorted
 from .q_textpipe import _pair_corpus  # noqa: E402
 from .q_textpipe import _SHINGLE_SQL  # noqa: E402
 
@@ -445,7 +445,7 @@ def q_duplicated_window_coverage(spark: SparkSession,
                    F.lit(_DUPWIN_TAIL)).otherwise(F.lit("")),
         ).alias("text"),
     )
-    return duplicated_window_coverage(docs, n=5).orderBy("doc_id")
+    return _sorted(duplicated_window_coverage(docs, n=5), "doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -554,7 +554,7 @@ def q_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit(_DUPWIN_TAIL)).otherwise(F.lit("")),
         ).alias("text"),
     )
-    return cut_duplicated_windows(docs, n=5).orderBy("doc_id")
+    return _sorted(cut_duplicated_windows(docs, n=5), "doc_id")
 
 
 def _dedup_eval_sql() -> str:

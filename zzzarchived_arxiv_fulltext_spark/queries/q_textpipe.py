@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ._registry import ORACLES, QUERIES, _docs, _events, _register
+from ._registry import ORACLES, QUERIES, _docs, _events, _register, _sorted
 
 __all__ = ["QUERIES", "ORACLES"]
 
@@ -754,9 +754,9 @@ def q_reference_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-block path emits nothing."""
     from ..operators.references import reference_entries
 
-    return (
-        reference_entries(_planted_refs_docs(spark, sf_dir))
-        .orderBy("doc_id", "ref_idx")
+    return _sorted(
+        reference_entries(_planted_refs_docs(spark, sf_dir)),
+        "doc_id", "ref_idx",
     )
 
 
