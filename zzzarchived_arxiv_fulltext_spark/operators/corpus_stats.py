@@ -525,7 +525,13 @@ def lm_perplexity(train: DataFrame, score: DataFrame, lam: float = 0.7,
     def pairs(df):
         return _token_pairs(df, text_col, id_col)
 
-    tp = pairs(train)
+    # materialize the train-side explode once: it feeds the bigram
+    # and unigram count tables AND the vocab-size driver scalar (an
+    # action at build time) — without this the reference corpus is
+    # re-exploded per consumer. The reference corpus is the SMALL
+    # side of this operator by construction (CCNet trains on trusted
+    # text, scores the crawl), so its token pairs are materializable.
+    tp = pairs(train).localCheckpoint(eager=True)
     bigrams = (tp.where(F.col("prev").isNotNull())
                .groupBy("prev", "cur").agg(F.count("*").alias("bc")))
     contexts = bigrams.groupBy("prev").agg(F.sum("bc").alias("uc"))

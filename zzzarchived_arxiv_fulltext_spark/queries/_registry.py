@@ -47,6 +47,8 @@ def _sorted(df: DataFrame, *cols) -> DataFrame:
     semdedup_pairs); result rows are identical, only the final sort's
     input is materialized. Use for expensive pipelines with bounded
     outputs — a cheap projection query should keep a plain orderBy.
+    (The inline form ``.localCheckpoint(True).orderBy(...)`` used
+    across the family modules is the same pattern.)
     """
     return df.localCheckpoint(eager=True).orderBy(*cols)
 

@@ -761,7 +761,7 @@ def q_html_interleaved_spans(spark: SparkSession,
             (F.array_join(texts, " ") == F.col("text"))
             .cast("int").alias("text_ok"),
         )
-        .orderBy("doc_id")
+        .localCheckpoint(True).orderBy("doc_id")
     )
 
 
@@ -826,7 +826,7 @@ def q_pdf_interleaved_spans(spark: SparkSession,
             (F.array_join(texts, "\n") == F.col("expected"))
             .cast("int").alias("text_ok"),
         )
-        .orderBy("doc_id")
+        .localCheckpoint(True).orderBy("doc_id")
     )
 
 
@@ -897,7 +897,7 @@ def q_media_caption_contexts(spark: SparkSession,
             F.col("media_offset").cast("long").alias("media_offset"),
             "text_before", "text_after",
         )
-        .orderBy("doc_id", "media_offset")
+        .localCheckpoint(True).orderBy("doc_id", "media_offset")
     )
 
 
@@ -971,7 +971,7 @@ def q_media_boilerplate_filter(spark: SparkSession,
             (F.array_join(texts, " ") == F.array_join("_w", " "))
             .cast("int").alias("text_ok"),
         )
-        .orderBy("doc_id")
+        .localCheckpoint(True).orderBy("doc_id")
     )
 
 
@@ -1067,7 +1067,7 @@ def q_span_extraction_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "common_prefix", "n_common", "n_added", "n_removed",
             F.col("text_changed").cast("int").alias("text_changed"),
         )
-        .orderBy("doc_id")
+        .localCheckpoint(True).orderBy("doc_id")
     )
 
 
@@ -1157,4 +1157,4 @@ def q_quality_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = docs.where(F.col("doc_id") % 10 != 0).select(
         (F.col("doc_id") - F.col("doc_id") % 10).alias("id_a"),
         F.col("doc_id").alias("id_b"))
-    return quality_keep_list(pairs, docs, "score").orderBy("id")
+    return quality_keep_list(pairs, docs, "score").localCheckpoint(True).orderBy("id")

@@ -169,7 +169,7 @@ def q_global_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("shared "), (F.col("doc_id") % 7).cast("string")),
         F.lit("tail line"))
     docs = _docs(spark, sf_dir).select("doc_id", planted.alias("text"))
-    return dedup_lines_global(docs).orderBy("doc_id")
+    return dedup_lines_global(docs).localCheckpoint(True).orderBy("doc_id")
 
 
 @_register(
@@ -312,7 +312,7 @@ def q_lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where(F.col("doc_id") % 4 == 0)
     score = docs.where(F.col("doc_id") % 4 == 2)
     return (lm_perplexity(train, score, lam=0.7)
-            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+            .withColumnRenamed("id", "doc_id").localCheckpoint(True).orderBy("doc_id"))
 
 
 @_register(
@@ -341,7 +341,7 @@ def q_ccnet_perplexity_buckets(spark: SparkSession,
     score = docs.where(F.col("doc_id") % 4 == 2)
     scored = lm_perplexity(train, score, lam=0.7)
     return (perplexity_buckets(scored, k=3)
-            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+            .withColumnRenamed("id", "doc_id").localCheckpoint(True).orderBy("doc_id"))
 
 
 @_register(
@@ -1003,7 +1003,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_nearest_centroid(emb, cents)
         .select("vec_id", F.col("centroid_id").cast("long")
                 .alias("centroid_id"))
-        .orderBy("vec_id")
+        .localCheckpoint(True).orderBy("vec_id")
     )
 
 
@@ -1178,4 +1178,4 @@ def q_stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where(F.col("doc_id") % 4 == 0)
     score = docs.where(F.col("doc_id") % 4 == 2)
     return (stupid_backoff_scores(train, score, alpha=0.4)
-            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+            .withColumnRenamed("id", "doc_id").localCheckpoint(True).orderBy("doc_id"))

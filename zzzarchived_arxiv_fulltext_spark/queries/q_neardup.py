@@ -157,7 +157,7 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform("qvec", lambda x: F.abs(x)))
         .alias("max_abs_q"),
         "rmse",
-    ).orderBy("vec_id")
+    ).localCheckpoint(True).orderBy("vec_id")
 
 
 @_register(
@@ -261,7 +261,7 @@ def q_script_profile_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.lit("中"), (F.col("doc_id") % 3).cast("int")))
     docs = _docs(spark, sf_dir).select("doc_id", planted.alias("text"))
     return (script_profile(docs)
-            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+            .withColumnRenamed("id", "doc_id").localCheckpoint(True).orderBy("doc_id"))
 
 
 @_register(

@@ -407,7 +407,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         leakage_safe_split(
             docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1})
         .select("doc_id", "cluster", "split")
-        .orderBy("doc_id")
+        .localCheckpoint(True).orderBy("doc_id")
     )
 
 
@@ -459,5 +459,5 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = docs.where(F.col("doc_id") % 10 == 0)
     return (
         dsir_importance_weights(docs, target, buckets=64)
-        .orderBy("doc_id")
+        .localCheckpoint(True).orderBy("doc_id")
     )

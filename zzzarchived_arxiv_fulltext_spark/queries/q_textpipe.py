@@ -835,5 +835,5 @@ def q_section_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         section_segments(planted)
         .select("doc_id", "sec_idx", "heading", "n_lines", "n_words")
-        .orderBy("doc_id", "sec_idx")
+        .localCheckpoint(True).orderBy("doc_id", "sec_idx")
     )

@@ -477,7 +477,7 @@ def q_quality_classifier_scores(spark: SparkSession,
     neg = docs.where(F.col("doc_id") % 10 != 0)
     w, b = train_quality_classifier(pos, neg, buckets=16, steps=2,
                                     lr=1.0)
-    return score_quality(docs, w, b).orderBy("doc_id")
+    return score_quality(docs, w, b).localCheckpoint(True).orderBy("doc_id")
 
 
 @_register(
@@ -527,7 +527,7 @@ def q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     )
     return kmv_distinct(toks, "tok", k=64,
-                        group_cols=["lang"]).orderBy("lang")
+                        group_cols=["lang"]).localCheckpoint(True).orderBy("lang")
 
 
 @_register(
@@ -585,7 +585,7 @@ def q_cm_sketch_heavy_hitters(spark: SparkSession,
     ).unionByName(
         spark.createDataFrame([("zzzz_absent",)], "tok string"))
     return cm_estimate(sketch, probes, "tok", width=512,
-                       depth=4).orderBy("item")
+                       depth=4).localCheckpoint(True).orderBy("item")
 
 
 @_register(

@@ -171,7 +171,7 @@ def q_domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (hits_scores(edges, iterations=2)
             .select("node", F.round("auth", 6).alias("auth"),
                     F.round("hub", 6).alias("hub"))
-            .orderBy("node"))
+            .localCheckpoint(True).orderBy("node"))
 
 
 @_register("domain_pagerank", _pagerank_sql())
@@ -187,7 +187,7 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("src"), ((F.col("id") * 3 + 2) % 25).alias("dst")))
     return (page_rank(edges, iterations=3)
             .select("node", F.round("rank", 6).alias("rank"))
-            .orderBy("node"))
+            .localCheckpoint(True).orderBy("node"))
 
 
 @_register(
@@ -398,7 +398,7 @@ def q_gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (gopher_quality_signals(docs)
             .withColumn("passes", F.col("passes").cast("int"))
-            .orderBy("doc_id"))
+            .localCheckpoint(True).orderBy("doc_id"))
 
 
 @_register(
@@ -567,7 +567,7 @@ def q_html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = _docs(spark, sf_dir).select(
         "doc_id", _planted_url().alias("url"), html.alias("html"))
-    return link_graph(pages).orderBy("src", "dst")
+    return link_graph(pages).localCheckpoint(True).orderBy("src", "dst")
 
 
 @_register(
@@ -609,7 +609,7 @@ def q_anchor_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = _docs(spark, sf_dir).select(
         "doc_id", _planted_url().alias("url"), html.alias("html"))
-    return anchor_text_pairs(pages).orderBy("doc_id", "target")
+    return anchor_text_pairs(pages).localCheckpoint(True).orderBy("doc_id", "target")
 
 
 @_register(
@@ -707,7 +707,7 @@ def q_pdf_page_furniture_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_join(transform(array_sort(filter(spans, s -> s.kind = 'text'),"
         " (a, b) -> a.offset - b.offset), s -> s.text), '\\n')"
     )
-    return spans.select("doc_id", text.alias("extracted")).orderBy("doc_id")
+    return spans.select("doc_id", text.alias("extracted")).localCheckpoint(True).orderBy("doc_id")
 
 
 @_register(
@@ -858,7 +858,7 @@ def q_packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical ordering/slicing with a plain SQL window."""
     from ..operators.sampling import pack_sequences
 
-    return pack_sequences(_docs(spark, sf_dir), 512).orderBy("seq_id")
+    return pack_sequences(_docs(spark, sf_dir), 512).localCheckpoint(True).orderBy("seq_id")
 
 
 # The clean suffix and its UTF-8-read-as-Latin-1 corruption, computed
@@ -1110,7 +1110,7 @@ def q_robots_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         F.regexp_extract("url", "https://([^/]+)/", 1).alias("host"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(True).orderBy("doc_id")
 
 
 @_register(
