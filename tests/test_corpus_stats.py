@@ -501,7 +501,7 @@ def test_bpe_encode_applies_merges_in_rank_order(spark):
     assert got["d1"] == ["pqr", "s", "pqr", "s"]
     assert got["d2"] == ["pq", "pq"]
     assert got["d3"] == ["r", "s", "r"]   # no merge applies
-    assert got["d4"] == [""]
+    assert got["d4"] == []  # empty doc -> zero symbols (ADVICE r6)
 
 
 def test_bpe_encode_jvm_and_pandas_paths_agree(spark):
@@ -579,3 +579,24 @@ def test_tokenizer_fertility_per_language(spark):
     assert got["en"]["fertility"] == 0.5
     assert got["de"]["fertility"] == 1.0
     assert got["en"]["n_docs"] == 2
+
+
+def test_bpe_encode_empty_and_multispace_docs(spark):
+    """Empty/whitespace-only docs encode to ZERO tokens (not one
+    phantom empty symbol), and doubled spaces contribute no empty
+    symbols — fertility's 'empty docs contribute zero to both
+    numerators' contract (ADVICE r6)."""
+    from zzzarchived_arxiv_fulltext_spark.operators.corpus_stats import (
+        bpe_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "p  q"), (4, "p q")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           bpe_encode(df, [("p", "q")]).collect()}
+    assert out[1]["n_bpe_tokens"] == 0 and out[1]["bpe_tokens"] == []
+    assert out[2]["n_bpe_tokens"] == 0
+    # doubled space: no empty symbol in between, so (p,q) still merges
+    assert out[3]["bpe_tokens"] == ["pq"]
+    assert out[4]["bpe_tokens"] == ["pq"]

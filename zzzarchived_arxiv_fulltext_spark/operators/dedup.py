@@ -288,19 +288,43 @@ def simhash(df: DataFrame, bits: int = 16, text_col: str = "text",
 def simhash_near_duplicates(df: DataFrame, max_hamming: int = 2,
                             bits: int = 16, prefix_bits: int = 8,
                             text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+                            with_drop_stats: bool = False):
     """Candidate pairs with small simhash Hamming distance.
 
     Bucketed by the high ``prefix_bits`` (pigeonhole: near-identical
     docs collide on the prefix with high probability); exact hamming
     computed via bit_count(xor) inside buckets only.
+
+    Hot-bucket cap: with only ``2^prefix_bits`` buckets corpus-wide, a
+    degenerate prefix (boilerplate-dominated corpora) makes the
+    within-bucket self-join quadratic — the same failure mode the
+    MinHash path guards against. Buckets holding more than
+    ``max_bucket_size`` docs are dropped from pair generation before
+    the join (they carry no discriminating signal); pass
+    ``with_drop_stats=True`` to also get the (bucket, n_docs) table of
+    dropped buckets — the cap is observable, never silent.
+    ``max_bucket_size=None`` disables it. (For recall at
+    ``max_hamming`` flips inside the prefix, run additional tables
+    with rotated prefixes and union the pairs.)
     """
     sh = simhash(df, bits=bits, text_col=text_col, id_col=id_col)
     bucketed = sh.withColumn(
         "bucket", F.shiftright(F.col("simhash"), bits - prefix_bits)
     )
+    dropped = None
+    if max_bucket_size is not None:
+        hot = (
+            bucketed.groupBy("bucket")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+        )
+        dropped = hot.select("bucket", F.col("_n").alias("n_docs"))
+        bucketed = bucketed.join(F.broadcast(hot.select("bucket")),
+                                 on="bucket", how="left_anti")
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    return (
+    pairs = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
         .select(
@@ -312,6 +336,12 @@ def simhash_near_duplicates(df: DataFrame, max_hamming: int = 2,
         )
         .where(F.col("hamming") <= max_hamming)
     )
+    if with_drop_stats:
+        if dropped is None:  # cap disabled → empty, type-correct frame
+            dropped = bucketed.groupBy("bucket").agg(
+                F.count("*").alias("n_docs")).limit(0)
+        return pairs, dropped
+    return pairs
 
 
 def normalization_key(text_col) -> Column:

@@ -76,7 +76,11 @@ def run_crawl_cycle(
         seen = (fetch_log.read_excluding_meta(spark, commit_meta,
                                               schema=LOG_SCHEMA)
                 if commit_meta else fetch_log.read(spark))
-        fresh = frontier.join(
+        # anti-join FROM the deduped frame (not the raw frontier):
+        # building it from `frontier` silently discarded the groupBy
+        # dedup whenever history existed, so duplicate frontier URLs
+        # were scheduled and fetched repeatedly in one cycle (ADVICE r6)
+        fresh = fresh.join(
             seen.select(F.col("url").alias(url_col)).distinct(),
             on=url_col, how="left_anti")
     counts["new"] = fresh.count()

@@ -36,11 +36,17 @@ from pyspark.sql import types as T
 from ..operators.similarity import assign_nearest_centroid, cosine
 from ..sources.tables import SnapshotTable
 
-INDEX_SCHEMA = T.StructType([
-    T.StructField("vec_id", T.LongType(), False),
-    T.StructField("centroid_id", T.IntegerType(), False),
-    T.StructField("embedding", T.ArrayType(T.DoubleType()), False),
-])
+def index_schema(delta: DataFrame, id_col: str) -> T.StructType:
+    """Index schema with the id typed AS THE CALLER'S ids are typed —
+    same rule as ``incremental_dedup.bucket_schema``: a hardcoded
+    ``vec_id long`` plus a forced cast turned string ids (extraction
+    doc_ids) into NULLs and silently dropped every pair (ADVICE r6).
+    """
+    return T.StructType([
+        T.StructField("vec_id", delta.schema[id_col].dataType, False),
+        T.StructField("centroid_id", T.IntegerType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), False),
+    ])
 
 
 def run_semdedup_incremental(
@@ -57,12 +63,12 @@ def run_semdedup_incremental(
     """Pairs (id_a, id_b, cos >= threshold) of delta×delta and
     delta×history members sharing a cluster; commits the delta's
     (id, centroid_id, embedding) rows for the next increment."""
+    schema = index_schema(delta, id_col)
     assigned = (
         assign_nearest_centroid(delta, centroids, vec_col=vec_col,
                                 id_col=id_col)
-        .select(F.col(id_col).cast("long").alias("vec_id"),
-                "centroid_id")
-        .join(delta.select(F.col(id_col).cast("long").alias("vec_id"),
+        .select(F.col(id_col).alias("vec_id"), "centroid_id")
+        .join(delta.select(F.col(id_col).alias("vec_id"),
                            F.col(vec_col).cast("array<double>")
                            .alias("embedding")),
               on="vec_id")
@@ -71,10 +77,10 @@ def run_semdedup_incremental(
 
     if index_table.snapshots():
         hist = (index_table.read_excluding_meta(
-                    spark, commit_meta, schema=INDEX_SCHEMA)
+                    spark, commit_meta, schema=schema)
                 if commit_meta else index_table.read(spark))
     else:
-        hist = spark.createDataFrame([], INDEX_SCHEMA)
+        hist = spark.createDataFrame([], schema)
 
     d, h = assigned, hist
     if max_cluster_size is not None:
