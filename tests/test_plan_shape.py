@@ -243,13 +243,15 @@ def test_round6_operators_plan_shapes(spark):
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan and "InPandas" not in plan, plan
 
-    # classifier scoring: the weight table broadcasts; the corpus side
-    # never does
+    # classifier scoring: the weights are INLINED as an array literal
+    # (element_at lookup — r7: no weight-table join or broadcast
+    # exchange at all); the corpus side still never broadcasts
     scored = score_quality(
         spark.createDataFrame([(1, "a b c")], "doc_id int, text string"),
         [0.1] * 16, 0.0)
     plan = _plan(scored)
-    assert "BroadcastHashJoin" in plan, plan
+    assert "element_at" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
 
     # frontier scheduling: exactly one window, partitioned by host —
     # never a global (empty-key) sort
