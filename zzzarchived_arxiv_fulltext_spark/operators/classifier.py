@@ -17,9 +17,9 @@ exceeds ``buckets`` entries anywhere; corpus size only affects the
 scan, never memory. Feature values are term frequencies (count /
 doc length) so document length never inflates the logit.
 
-Scoring is a broadcast join of the (bucket, weight) table against the
+Scoring inlines the weight vector as an array literal over the
 per-doc bucket counts plus one aggregation — the corpus streams
-through in one pass.
+through in one pass with no weight-table join or broadcast exchange.
 """
 
 import math
@@ -64,6 +64,7 @@ def train_quality_classifier(
     steps: int = 5,
     lr: float = 1.0,
     init: Optional[Tuple[List[float], float]] = None,
+    labeled: Optional[DataFrame] = None,
 ) -> Tuple[List[float], float]:
     """Full-batch logistic regression: returns (weights[buckets],
     bias). ``pos`` documents are label 1, ``neg`` label 0. ``init``
@@ -80,15 +81,8 @@ def train_quality_classifier(
     materialized once so the feature explode is not recomputed every
     step. Driver state: ``buckets + 1`` doubles.
     """
-    labeled = (
-        hashed_tf(pos, text_col, id_col, buckets)
-        .withColumn("_y", F.lit(1.0))
-        .unionByName(
-            hashed_tf(neg, text_col, id_col, buckets)
-            .withColumn("_y", F.lit(0.0)))
-        # one row per (doc, bucket); reused `steps` times
-        .localCheckpoint(eager=True)
-    )
+    if labeled is None:
+        labeled = labeled_features(pos, neg, text_col, id_col, buckets)
     n_docs = labeled.select(id_col, "_y").distinct().count()
     if init is not None:
         if len(init[0]) != buckets:
@@ -135,9 +129,27 @@ def train_quality_classifier(
     return w, bias
 
 
+def labeled_features(pos: DataFrame, neg: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     buckets: int = 256) -> DataFrame:
+    """Materialized (id, bucket, tf, _y) training features — one row
+    per (doc, bucket), label 1 for ``pos`` docs, 0 for ``neg``.
+    Eagerly checkpointed: it is re-read every GD step, and a caller
+    scoring the SAME corpus can pass it to :func:`score_quality` as
+    ``features`` so the feature explode runs once, not twice."""
+    return (
+        hashed_tf(pos, text_col, id_col, buckets)
+        .withColumn("_y", F.lit(1.0))
+        .unionByName(
+            hashed_tf(neg, text_col, id_col, buckets)
+            .withColumn("_y", F.lit(0.0)))
+        .localCheckpoint(eager=True)
+    )
+
+
 def score_quality(df: DataFrame, weights: List[float], bias: float,
-                  text_col: str = "text", id_col: str = "doc_id"
-                  ) -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  features: Optional[DataFrame] = None) -> DataFrame:
     """(id, quality_prob): sigmoid of the linear score under the
     trained weights. Weights are inlined as an array literal
     (bounded tokenizer-style metadata — same contract as IVF
@@ -146,8 +158,11 @@ def score_quality(df: DataFrame, weights: List[float], bias: float,
     ``sigmoid(bias)``."""
     buckets = len(weights)
     warr = F.array(*[F.lit(float(x)) for x in weights])
+    feats = (hashed_tf(df, text_col, id_col, buckets)
+             if features is None
+             else features.select(id_col, "bucket", "tf"))
     scored = (
-        hashed_tf(df, text_col, id_col, buckets)
+        feats
         .groupBy(id_col)
         .agg(F.sum(F.col("tf")
                    * F.element_at(warr, F.col("bucket").cast("int") + 1)

@@ -109,7 +109,10 @@ def corpus_prep_funnel(
     # Materialize it once (guide §5) — same reason the near-dup id
     # set is materialized: it is consumed by both the semi and the
     # anti join, and its subtree is the whole shingle/minhash/LSH/
-    # verify pipeline.
+    # verify pipeline. (Checkpointing s2r instead, one operator up so
+    # the d_exact branch also reads it, MEASURED WORSE — 2.8 vs 2.4 s
+    # min — the wider pre-filter materialization costs more than the
+    # one cheap scan+window recompute it saves.)
     s3 = s2r.where(F.col("_rn") == 1).drop("_rn") \
         .localCheckpoint(eager=True)
 

@@ -468,6 +468,7 @@ def q_quality_classifier_scores(spark: SparkSession,
     gradient aggregation is pinned to the arithmetic, not just to a
     direction."""
     from ..operators.classifier import (
+        labeled_features,
         score_quality,
         train_quality_classifier,
     )
@@ -475,9 +476,13 @@ def q_quality_classifier_scores(spark: SparkSession,
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     pos = docs.where(F.col("doc_id") % 10 == 0)
     neg = docs.where(F.col("doc_id") % 10 != 0)
+    # train and score share ONE materialized feature table (pos ∪ neg
+    # IS the scored corpus here) — the feature explode runs once
+    feats = labeled_features(pos, neg, buckets=16)
     w, b = train_quality_classifier(pos, neg, buckets=16, steps=2,
-                                    lr=1.0)
-    return score_quality(docs, w, b).localCheckpoint(True).orderBy("doc_id")
+                                    lr=1.0, labeled=feats)
+    return score_quality(docs, w, b, features=feats) \
+        .localCheckpoint(True).orderBy("doc_id")
 
 
 @_register(
