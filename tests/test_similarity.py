@@ -221,3 +221,34 @@ def test_hashed_doc_vectors_feed_semdedup(spark):
         vecs.withColumnRenamed("doc_id", "vec_id"), cents,
         threshold=0.999)
     assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(1, 2)]
+
+
+def test_semdedup_pair_engines_agree(spark):
+    """The BLAS (per-cluster GEMM applyInPandas) engine must produce
+    the same pair set as the pure-JVM self-join, with cosines equal to
+    1e-9 before rounding differences could matter."""
+    import random
+
+    from zzzarchived_arxiv_fulltext_spark.operators.similarity import (
+        semantic_near_duplicates,
+    )
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(120):
+        base = [rnd.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, base))
+        if i % 7 == 0:  # planted near-dup with a tiny perturbation
+            rows.append((1000 + i,
+                         [x + rnd.uniform(-1e-4, 1e-4) for x in base]))
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = [r["embedding"] for r in
+             vecs.where("vec_id < 4").orderBy("vec_id").collect()]
+    jvm = {(r["id_a"], r["id_b"]): r["cos"] for r in
+           semantic_near_duplicates(vecs, cents, threshold=0.95).collect()}
+    blas = {(r["id_a"], r["id_b"]): r["cos"] for r in
+            semantic_near_duplicates(vecs, cents, threshold=0.95,
+                                     pair_engine="blas").collect()}
+    assert set(jvm) == set(blas) and jvm
+    for k in jvm:
+        assert abs(jvm[k] - blas[k]) <= 1e-6, (k, jvm[k], blas[k])

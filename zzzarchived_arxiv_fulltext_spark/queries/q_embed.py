@@ -1068,7 +1068,8 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id").collect()
     ]
     return _sorted(
-        semantic_near_duplicates(allv, cents, threshold=0.9)
+        semantic_near_duplicates(allv, cents, threshold=0.9,
+                                 pair_engine="blas")
         .select(F.col("id_a").cast("long").alias("id_a"),
                 F.col("id_b").cast("long").alias("id_b"), "cos"),
         "id_a", "id_b",
