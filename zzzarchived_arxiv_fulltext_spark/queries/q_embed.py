@@ -373,7 +373,7 @@ def q_robots_noindex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "doc_id", "lang", page.alias("html"))
     return (drop_noindex_pages(docs)
-            .select("doc_id", "lang").orderBy("doc_id"))
+            .select("doc_id", "lang").localCheckpoint(True).orderBy("doc_id"))
 
 
 @_register(

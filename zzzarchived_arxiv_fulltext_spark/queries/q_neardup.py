@@ -661,4 +661,4 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return tokenizer_fertility(
-        docs, [("p", "q"), ("pq", "r")]).orderBy("lang")
+        docs, [("p", "q"), ("pq", "r")]).localCheckpoint(True).orderBy("lang")

@@ -386,7 +386,7 @@ def q_latex_math_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(r"repeat(' \\alpha', cast(doc_id % 5 as int))"),
         ).alias("text"),
     )
-    return latex_math_stats(planted).orderBy("doc_id")
+    return latex_math_stats(planted).localCheckpoint(True).orderBy("doc_id")
 
 
 @_register(

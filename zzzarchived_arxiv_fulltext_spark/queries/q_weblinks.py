@@ -71,7 +71,7 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.weblinks import domain_stats
 
     wu = _docs(spark, sf_dir).withColumn("url", _planted_url())
-    return domain_stats(wu).orderBy("domain")
+    return domain_stats(wu).localCheckpoint(True).orderBy("domain")
 
 
 @_register(
@@ -93,7 +93,7 @@ def q_blocked_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = spark.createDataFrame(
         [("site0.com",), ("blog.site1.org",)], ["blocked_domain"])
     return (filter_blocked_domains(wu, bl)
-            .select("doc_id").orderBy("doc_id"))
+            .select("doc_id").localCheckpoint(True).orderBy("doc_id"))
 
 
 def _pagerank_sql(iterations: int = 3, n: int = 25, d: float = 0.85) -> str:
@@ -222,7 +222,7 @@ def q_mojibake_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit(" Ã©x"), F.lit(" â€œy Â z"), F.lit("")),
             (F.col("doc_id") % 3 + 1).cast("int"))),
     )
-    return mojibake_score(docs).orderBy("doc_id")
+    return mojibake_score(docs).localCheckpoint(True).orderBy("doc_id")
 
 
 @_register(
@@ -256,7 +256,7 @@ def q_normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = docs.select(F.col("doc_id").alias("doc_id"), "text").unionByName(
         docs.select((F.col("doc_id") + 10000000).alias("doc_id"),
                     F.upper("text").alias("text")))
-    return drop_normalized_duplicates(u).orderBy("id")
+    return drop_normalized_duplicates(u).localCheckpoint(True).orderBy("id")
 
 
 @_register(
@@ -431,7 +431,7 @@ def q_c4_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\nJavascript is required to view. lorem ipsum"),
         ), (F.col("doc_id") % 3 + 1).cast("int"))),
     )
-    return c4_line_filter(docs).orderBy("doc_id")
+    return c4_line_filter(docs).localCheckpoint(True).orderBy("doc_id")
 
 
 @_register(
@@ -501,7 +501,7 @@ def q_domain_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     wu = _docs(spark, sf_dir).select(
         "doc_id", _planted_url().alias("url"))
     return (cap_docs_per_domain(wu, 7)
-            .select("doc_id", "domain").orderBy("doc_id"))
+            .select("doc_id", "domain").localCheckpoint(True).orderBy("doc_id"))
 
 
 @_register(
@@ -648,7 +648,7 @@ def q_corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[c for c in old.columns if c not in ("doc_id", "text")])
         .select(old.columns)
     )
-    return corpus_diff(old, new).orderBy("id")
+    return corpus_diff(old, new).localCheckpoint(True).orderBy("id")
 
 
 @_register(
@@ -737,7 +737,7 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.search import inverted_index
 
     return inverted_index(_docs(spark, sf_dir),
-                          max_postings=20).orderBy("term")
+                          max_postings=20).localCheckpoint(True).orderBy("term")
 
 
 @_register(
@@ -891,7 +891,7 @@ def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.concat(F.col("text"), F.lit(_MOJI_BAD)))
         .otherwise(F.col("text")))
     return (fix_mojibake(docs)
-            .select("doc_id", "text", "repaired").orderBy("doc_id"))
+            .select("doc_id", "text", "repaired").localCheckpoint(True).orderBy("doc_id"))
 
 
 @_register(
@@ -929,7 +929,7 @@ def q_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.avg(F.col("_gap") / 1e6), 6).alias("avg_gap_sec"),
              F.round(F.max(F.col("_gap") / 1e6), 6).alias("max_gap_sec"))
         .where(F.col("n_gaps") > 0)
-        .orderBy("user_id")
+        .localCheckpoint(True).orderBy("user_id")
     )
 
 
@@ -999,7 +999,7 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn(
             "p", F.round(F.col("n") / F.sum("n").over(norm), 6))
-        .orderBy("src", "dst")
+        .localCheckpoint(True).orderBy("src", "dst")
     )
 
 
@@ -1058,7 +1058,7 @@ def q_registrable_domain_keying(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wu = _docs(spark, sf_dir).withColumn(
         "url", F.concat(F.lit("https://"), host, F.lit("/page")))
-    return domain_stats(wu).orderBy("domain")
+    return domain_stats(wu).localCheckpoint(True).orderBy("domain")
 
 
 
@@ -1148,5 +1148,5 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         crawl_frontier_batches(docs, per_host_per_batch=2)
         .select("url", "host", "fetch_batch")
-        .orderBy("url", "fetch_batch")
+        .localCheckpoint(True).orderBy("url", "fetch_batch")
     )
