@@ -283,12 +283,28 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
             F.element_at(ws, k + 2).alias("w2"),
         ),
     )
+    # The pair table is materialized once: it has three consumers
+    # (the join probe side, the bigram count table and — via the
+    # recomputed bigram aggregation — the unigram table), and nothing
+    # dedupes them lazily. The count-table joins broadcast in the
+    # small-data regime, so there is no common shuffle for
+    # ReuseExchange; column pruning gives the probe (with id) and the
+    # agg branches (without) different canonical subtrees, so AQE
+    # stage reuse cannot fire either — the executed plan ran
+    # scan+split+explode 3x. One eager localCheckpoint trades a local
+    # write of the pairs (~2 words/token, same order as the probe-side
+    # shuffle the join needs anyway at scale) for two full
+    # scan+split+explode re-evaluations. An explicit
+    # repartition(w1,w2) variant — shared-exchange pattern — was also
+    # measured: it did NOT dedupe (pruning, above) and benched slower
+    # than this.
     exploded = (
         df.select(F.col(id_col).alias("id"),
                   F.split(F.col(text_col), " ").alias("_ws"))
         .where(F.size(ws) >= 2)
         .select("id", F.explode(pairs).alias("p"))
         .select("id", "p.w1", "p.w2")
+        .localCheckpoint(eager=True)
     )
     bigrams = exploded.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
     unigrams = bigrams.groupBy("w1").agg(F.sum("bc").alias("uc"))
