@@ -669,7 +669,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_jaccard, word_shingles
 
     docs = _pair_corpus(spark, sf_dir)
-    sh = word_shingles(docs, n=3)
+    # sh feeds both self-join sides, the size table and the
+    # intersection join; all_pairs feeds candidate_ids (twice via the
+    # narrowed self-join) plus a semi-join — without materialization
+    # the scan+explode subtree is replicated ~14x in the plan.
+    sh = word_shingles(docs, n=3).localCheckpoint(True)
     all_pairs = (
         sh.alias("a").join(
             sh.alias("b"),
@@ -678,6 +682,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        .localCheckpoint(True)
     )
     return exact_jaccard(sh, all_pairs).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
